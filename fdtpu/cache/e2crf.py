@@ -1,0 +1,352 @@
+"""E²-CRF: error-feedback event-driven caching, compiled into the sampler.
+
+TPU-native redesign of the reference caching subsystem
+(`/root/reference/src/fdiff/utils/caching.py:19-653`,
+`models/cached_transformer.py:28-329`).  The torch implementation is a
+mutable Python object holding dict/tensor KV stores and `set[int]` recompute
+sets, driven step-by-step from an eager loop.  Here the entire cache is an
+immutable pytree carried through `lax.scan`; every decision is a traced
+computation on device, and the expensive branches are selected by
+`lax.switch`/`lax.cond` so skipped work is *actually skipped* at runtime.
+
+Two caching levels (config ``level``):
+
+* ``"kv"`` — per-token KV reuse inside each transformer layer (the reference
+  mechanism).  Pure-cache steps project only Q and reuse K/V, mixed steps
+  refresh a masked token subset, full steps rebuild everything.
+* ``"score"`` — full-step score reuse: cached steps skip the score network
+  entirely, reconstructing the score from the cached noise prediction
+  ``ε̂`` rescaled by the current marginal std (score(t) = −ε̂ / std(t)).
+  This is the BASELINE.json north star — `lax.cond`-gated so skipped steps
+  cost O(elementwise) instead of a transformer forward.
+
+Recompute policies (config ``policy``):
+
+* ``"macro"`` — bit-exact parity with the reference's live behavior
+  (caching.py:153-181): step 0 full; every ``interval`` steps refresh the
+  first 2K tokens (interval = 500 when R < 100, else R); otherwise pure
+  cache.
+* ``"event"`` — the *documented* event-driven policy (reference README
+  E²-CRF description and paper Algorithm 1, which the reference never wired
+  up — SURVEY.md quirk Q1): per-token CRF drift × spectral-energy weighting
+  thresholded at τ₀, plus K always-recomputed low-frequency tokens, plus a
+  random probe fraction (quirk Q4: the README documents
+  ``random_probe_ratio`` but the reference constructor rejects it),
+  plus R-periodic full error-feedback refresh.  At the score level the same
+  machinery becomes an error-feedback accumulator: each full step measures
+  the ε̂ drift rate, and skipping continues until the accumulated predicted
+  drift crosses τ₀ (or the hard interval R expires).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from fdtpu.models.transformer import MODE_CACHED, MODE_FULL, MODE_MIXED
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class E2CRFConfig:
+    """Static cache configuration (hashable; jit static arg).
+
+    Field names/defaults mirror the reference ``E2CRFCache.__init__``
+    (caching.py:28-47) plus the documented-but-missing ``random_probe_ratio``.
+    """
+
+    K: int = 5
+    R: int = 10
+    tau_0: float = 0.1
+    tau_warn: float = 0.5
+    policy: str = "event"  # "event" | "macro"
+    level: str = "kv"  # "kv" | "score"
+    random_probe_ratio: float = 0.0
+    # FreqCa (frequency-aware CRF prediction)
+    use_freqca: bool = False
+    freq_decomp: str = "dct"
+    low_freq_ratio: float = 0.3
+    max_history: int = 10
+    hermite_order: int = 3
+    freq_decomp_interval: int = 10
+    # Reference behavior: cache persists across sample batches (quirk Q5).
+    reset_between_batches: bool = False
+
+    @property
+    def macro_interval(self) -> int:
+        """Reference auto-scaling: R < 100 → 500 (caching.py:164-167)."""
+        return 500 if self.R < 100 else self.R
+
+
+class CacheState(struct.PyTreeNode):
+    """Pytree carried through the sampling scan."""
+
+    # Per-layer, per-batch KV store (fixes reference quirk Q3):
+    k: Array  # (num_layers, B, H, T, Dh)
+    v: Array  # (num_layers, B, H, T, Dh)
+    # Cumulative residual features of the previous step (batch element 0,
+    # matching reference score_models.py:183-190):
+    crf_prev: Array  # (num_layers, T, d_model)
+    # Per-token CRF drift measured at the last step (event policy input):
+    delta_tok: Array  # (T,)
+    # Score-level cache: last fully-computed noise prediction and drift rate.
+    eps_hat: Array  # (B, T, C)
+    drift_rate: Array  # () per-step relative ε̂ drift measured at last refresh
+    err_acc: Array  # () accumulated predicted drift since last refresh
+    last_full_step: Array  # () int32
+    # FreqCa state: ring buffer of high-frequency CRF history + timesteps.
+    crf_low: Array  # (num_layers, T, d_model)
+    crf_high_hist: Array  # (max_history, num_layers, T, d_model)
+    crf_t_hist: Array  # (max_history,)
+    hist_len: Array  # () int32
+    # Step counter (global across batches, reference sampler.py:130).
+    step: Array  # () int32
+    # Statistics (reference caching.py:107-111, 599-653).
+    recompute_count: Array  # () int32 — tokens recomputed (KV writes)
+    cache_hit_count: Array  # () int32 — tokens served from cache
+    full_steps: Array  # () int32
+    mixed_steps: Array  # () int32
+    cached_steps: Array  # () int32 — pure-cache / skipped steps
+
+
+def init_cache_state(
+    cfg: E2CRFConfig,
+    num_layers: int,
+    batch: int,
+    n_head: int,
+    max_len: int,
+    head_dim: int,
+    d_model: int,
+    n_channels: int,
+    dtype=jnp.float32,
+) -> CacheState:
+    zero = jnp.zeros((), jnp.int32)
+    return CacheState(
+        k=jnp.zeros((num_layers, batch, n_head, max_len, head_dim), dtype),
+        v=jnp.zeros((num_layers, batch, n_head, max_len, head_dim), dtype),
+        crf_prev=jnp.zeros((num_layers, max_len, d_model), dtype),
+        delta_tok=jnp.zeros((max_len,), dtype),
+        eps_hat=jnp.zeros((batch, max_len, n_channels), dtype),
+        drift_rate=jnp.zeros((), dtype),
+        err_acc=jnp.zeros((), dtype),
+        last_full_step=zero,
+        crf_low=jnp.zeros((num_layers, max_len, d_model), dtype),
+        crf_high_hist=jnp.zeros(
+            (cfg.max_history, num_layers, max_len, d_model), dtype
+        ),
+        crf_t_hist=jnp.zeros((cfg.max_history,), dtype),
+        hist_len=zero,
+        step=zero,
+        recompute_count=zero,
+        cache_hit_count=zero,
+        full_steps=zero,
+        mixed_steps=zero,
+        cached_steps=zero,
+    )
+
+
+# ----------------------------------------------------------------- policies
+def macro_policy(
+    cfg: E2CRFConfig, state: CacheState, max_len: int
+) -> tuple[Array, Array]:
+    """Reference live policy (caching.py:153-181).
+
+    Returns (mode, recompute_mask (T,) bool): step 0 → FULL; every
+    ``macro_interval`` steps → MIXED over the first min(2K, T) tokens;
+    otherwise → CACHED (empty mask).
+    """
+    step = state.step
+    idx = jnp.arange(max_len)
+    k_tokens = min(cfg.K, max_len)
+    refresh_count = min(2 * k_tokens, max_len)
+
+    is_first = step == 0
+    is_refresh = (step % cfg.macro_interval) == 0
+
+    mode = jnp.where(
+        is_first, MODE_FULL, jnp.where(is_refresh, MODE_MIXED, MODE_CACHED)
+    ).astype(jnp.int32)
+    mask = jnp.where(
+        is_first,
+        jnp.ones((max_len,), bool),
+        jnp.where(is_refresh, idx < refresh_count, jnp.zeros((max_len,), bool)),
+    )
+    return mode, mask
+
+
+def event_policy(
+    cfg: E2CRFConfig,
+    state: CacheState,
+    x: Array,
+    key: Array,
+) -> tuple[Array, Array]:
+    """Documented event-driven policy (README E²-CRF / paper Eq. 14-18).
+
+    Token trigger: energy-weighted CRF drift > τ₀, ∪ K lowest-frequency
+    tokens, ∪ random probe fraction.  Full refresh at step 0 and every R
+    steps (error feedback), or when the mean drift exceeds τ_warn.
+    """
+    max_len = x.shape[1]
+    idx = jnp.arange(max_len)
+    step = state.step
+
+    # Spectral-energy weighting: token energy share of the current state.
+    energy = jnp.mean(x**2, axis=(0, 2))  # (T,)
+    energy_w = energy / (jnp.mean(energy) + 1e-8)
+
+    weighted_drift = state.delta_tok * energy_w
+    trigger = weighted_drift > cfg.tau_0
+    low = idx < min(cfg.K, max_len)
+    probe = jax.random.uniform(key, (max_len,)) < cfg.random_probe_ratio
+    mask = trigger | low | probe
+
+    is_first = step == 0
+    is_refresh = (step - state.last_full_step) >= cfg.R
+    is_warn = jnp.mean(state.delta_tok) > cfg.tau_warn
+    full = is_first | is_refresh | is_warn
+
+    any_token = jnp.any(mask)
+    mode = jnp.where(
+        full, MODE_FULL, jnp.where(any_token, MODE_MIXED, MODE_CACHED)
+    ).astype(jnp.int32)
+    mask = jnp.where(full, jnp.ones((max_len,), bool), mask)
+    return mode, mask
+
+
+def score_skip_decision(cfg: E2CRFConfig, state: CacheState) -> Array:
+    """Score-level skip gate: True → run the network this step.
+
+    Error feedback: skip while the accumulated predicted ε̂ drift stays
+    under τ₀ and the hard interval R has not expired.
+    """
+    step = state.step
+    is_first = step == 0
+    # Calibration: right after a cold start the drift rate is unknown (0) —
+    # run one extra full step to measure it before trusting the skip budget.
+    is_calibration = ((step - state.last_full_step) == 1) & (state.drift_rate == 0)
+    interval_expired = (step - state.last_full_step) >= cfg.R
+    budget_exceeded = state.err_acc >= cfg.tau_0
+    return is_first | is_calibration | interval_expired | budget_exceeded
+
+
+# ----------------------------------------------------------------- updates
+def update_after_forward(
+    cfg: E2CRFConfig,
+    state: CacheState,
+    mode: Array,
+    mask: Array,
+    kv_new: tuple[Array, Array],
+    crf: Array,
+    timestep: Array,
+) -> CacheState:
+    """Post-forward bookkeeping shared by the KV-level branches.
+
+    Maintains the CRF drift signal, KV store, statistics, and (optionally)
+    the FreqCa low/high decomposition history (reference update_crf,
+    caching.py:459-522).
+    """
+    max_len = mask.shape[0]
+    is_full = mode == MODE_FULL
+    is_mixed = mode == MODE_MIXED
+    is_cached = mode == MODE_CACHED
+
+    # Per-token CRF drift (mean |Δ| over layers and features, L2 over d).
+    delta = jnp.linalg.norm(crf - state.crf_prev, axis=-1)  # (L_layers, T)
+    delta_tok = jnp.mean(delta, axis=0)  # (T,)
+
+    n_recomputed = jnp.where(
+        is_full, max_len, jnp.where(is_mixed, jnp.sum(mask), 0)
+    ).astype(jnp.int32)
+    n_hits = (max_len - n_recomputed).astype(jnp.int32)
+
+    new_state = state.replace(
+        k=kv_new[0],
+        v=kv_new[1],
+        crf_prev=crf,
+        delta_tok=delta_tok,
+        last_full_step=jnp.where(is_full, state.step, state.last_full_step),
+        recompute_count=state.recompute_count + n_recomputed,
+        cache_hit_count=state.cache_hit_count + n_hits,
+        full_steps=state.full_steps + is_full.astype(jnp.int32),
+        mixed_steps=state.mixed_steps + is_mixed.astype(jnp.int32),
+        cached_steps=state.cached_steps + is_cached.astype(jnp.int32),
+    )
+
+    if cfg.use_freqca:
+        from fdtpu.ops.fourier import frequency_decompose_fft
+
+        should = (state.step % cfg.freq_decomp_interval) == 0
+        crf_low, crf_high = frequency_decompose_fft(
+            crf.reshape(-1, crf.shape[-2], crf.shape[-1]), cfg.low_freq_ratio
+        )
+        crf_low = crf_low.reshape(crf.shape)
+        crf_high = crf_high.reshape(crf.shape)
+        # Ring-buffer append (shift-left when full).
+        hist = jnp.where(
+            should,
+            jnp.concatenate([state.crf_high_hist[1:], crf_high[None]], axis=0),
+            state.crf_high_hist,
+        )
+        t_hist = jnp.where(
+            should,
+            jnp.concatenate([state.crf_t_hist[1:], timestep[None]]),
+            state.crf_t_hist,
+        )
+        new_state = new_state.replace(
+            crf_low=jnp.where(should, crf_low, state.crf_low),
+            crf_high_hist=hist,
+            crf_t_hist=t_hist,
+            hist_len=jnp.minimum(
+                state.hist_len + should.astype(jnp.int32), cfg.max_history
+            ),
+        )
+
+    return new_state
+
+
+def compute_event_intensity(cfg: E2CRFConfig, state: CacheState, crf: Array) -> Array:
+    """Mean CRF-delta energy normalized by τ₀, capped at 1
+    (reference caching.py:524-559)."""
+    delta = jnp.linalg.norm(crf - state.crf_prev, axis=-1)
+    avg_energy = jnp.mean(delta)
+    return jnp.minimum(1.0, avg_energy / cfg.tau_0)
+
+
+def predict_crf_freqca(cfg: E2CRFConfig, state: CacheState, t_val: Array) -> Array:
+    """FreqCa prediction: cached low-frequency CRF + Hermite-extrapolated
+    high-frequency component (reference caching.py:561-597)."""
+    from fdtpu.ops.fourier import predict_hermite
+
+    crf_high_pred = predict_hermite(
+        state.crf_high_hist, state.crf_t_hist, t_val, cfg.hermite_order
+    )
+    pred = state.crf_low + crf_high_pred
+    # Not enough history → fall back to the previous CRF.
+    return jnp.where(state.hist_len >= 2, pred, state.crf_prev)
+
+
+def cache_stats(state: CacheState) -> dict[str, Any]:
+    """Summary statistics (reference get_cache_stats, caching.py:599-653)."""
+    recompute = int(state.recompute_count)
+    hits = int(state.cache_hit_count)
+    total = recompute + hits
+    total_steps = int(state.full_steps) + int(state.mixed_steps) + int(
+        state.cached_steps
+    )
+    return {
+        "cache_hit_ratio": hits / total if total else 0.0,
+        "recompute_count": recompute,
+        "cache_hit_count": hits,
+        "current_step": int(state.step),
+        "full_steps": int(state.full_steps),
+        "mixed_steps": int(state.mixed_steps),
+        "cached_steps": int(state.cached_steps),
+        "steps_skipped_ratio": (
+            int(state.cached_steps) / total_steps if total_steps else 0.0
+        ),
+    }

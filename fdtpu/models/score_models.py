@@ -46,6 +46,42 @@ Array = jax.Array
 Params = dict[str, Any]
 
 
+@dataclasses.dataclass
+class ScoreModel:
+    """Bundle of (config, variables, scheduler) — the functional analog of the
+    reference's LightningModule `ScoreModule` (score_models.py:24-360).
+
+    Everything stateful lives in `variables`; the methods are thin wrappers
+    over the pure apply functions below.
+    """
+
+    config: "ScoreModelConfig"
+    variables: dict[str, Any]
+    scheduler: Any  # fdtpu.diffusion.sde.SDE
+    num_training_steps: int = 1000
+    lr_max: float = 1e-3
+    likelihood_weighting: bool = False
+
+    @property
+    def n_channels(self) -> int:
+        return self.config.n_channels
+
+    @property
+    def max_len(self) -> int:
+        return self.config.max_len
+
+    def __call__(self, x: Array, timesteps: Array, **kw) -> Array:
+        return score_apply(self.variables, self.config, x, timesteps, **kw)
+
+    def apply_cached(self, x, timesteps, kv_cache, recompute_mask, mode):
+        return score_apply_cached(
+            self.variables, self.config, x, timesteps, kv_cache, recompute_mask, mode
+        )
+
+    def param_count(self) -> int:
+        return param_count(self.variables)
+
+
 @dataclasses.dataclass(frozen=True)
 class ScoreModelConfig:
     """Static architecture config (hashable; safe as a jit static arg)."""

@@ -1,0 +1,301 @@
+"""Reverse-diffusion sampling as one compiled `lax.scan`.
+
+TPU-native redesign of the reference sampler
+(`/root/reference/src/fdiff/sampling/sampler.py:14-228`), which drives a
+per-step Python loop with tqdm.  Here the full trajectory — score forward
+(optionally through the E²-CRF cache), optional FreSca scaling, and the
+Euler–Maruyama scheduler step — is one `lax.scan` under `jit`:
+
+* Cache decisions are traced computations; the heavy/light paths are selected
+  by `lax.switch` (KV level) or `lax.cond` (score level) so cached steps skip
+  real FLOPs at runtime, not just Python overhead.
+* PRNG is functional: one key threads through prior sampling, the per-step
+  reverse noise, and the event policy's random probe.
+* The sample batch axis is sharded over the device mesh by the caller
+  (see fdtpu.dist.mesh) — sampling is embarrassingly parallel over batch.
+
+Reference parity preserved deliberately: remainder-dropping batch count
+(quirk Q6), cache persistence across batches with a global step counter
+(quirk Q5, opt-out via `E2CRFConfig.reset_between_batches`), and FreSca's
+time-decay schedule fed the SDE time like the torch code does.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdtpu.cache.e2crf import (
+    CacheState,
+    E2CRFConfig,
+    event_policy,
+    init_cache_state,
+    macro_policy,
+    score_skip_decision,
+    update_after_forward,
+)
+from fdtpu.diffusion.sde import SDE
+from fdtpu.models.score_models import (
+    ScoreModel,
+    ScoreModelConfig,
+    score_apply,
+    score_apply_cached,
+)
+from fdtpu.models.transformer import MODE_FULL
+from fdtpu.ops.fresca import apply_fresca_to_score
+
+Array = jax.Array
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model_cfg",
+        "cache_cfg",
+        "num_steps",
+        "use_fresca",
+        "fresca_cutoff_strategy",
+    ),
+)
+def sample_chain(
+    variables: dict[str, Any],
+    scheduler: SDE,
+    x0: Array,
+    key: Array,
+    cache_state: Optional[CacheState],
+    *,
+    model_cfg: ScoreModelConfig,
+    cache_cfg: Optional[E2CRFConfig],
+    num_steps: int,
+    use_fresca: bool = False,
+    fresca_low_scale: float = 1.0,
+    fresca_high_scale: float = 1.5,
+    fresca_cutoff_ratio: float = 0.5,
+    fresca_cutoff_strategy: str = "energy",
+) -> tuple[Array, Optional[CacheState]]:
+    """Run the full reverse diffusion from prior sample ``x0``.
+
+    Returns the generated batch and the (possibly updated) cache state.
+    """
+    ts, step_size = scheduler.timesteps(num_steps)
+    use_cache = cache_cfg is not None
+    batch = x0.shape[0]
+
+    def maybe_fresca(score: Array, t: Array) -> Array:
+        if not use_fresca:
+            return score
+        return apply_fresca_to_score(
+            score,
+            low_scale=fresca_low_scale,
+            high_scale=fresca_high_scale,
+            cutoff_ratio=fresca_cutoff_ratio,
+            cutoff_strategy=fresca_cutoff_strategy,
+            timestep=t,
+            num_steps=num_steps,
+        )
+
+    if not use_cache:
+
+        def body(carry, t):
+            x, k = carry
+            k, k_noise = jax.random.split(k)
+            t_batch = jnp.full((batch,), t, x.dtype)
+            score = score_apply(variables, model_cfg, x, t_batch)
+            score = maybe_fresca(score, t)
+            z = jax.random.normal(k_noise, x.shape, x.dtype)
+            x = scheduler.step(score, t, x, z, step_size)
+            return (x, k), None
+
+        (x, _), _ = jax.lax.scan(body, (x0, key), ts)
+        return x, None
+
+    max_len = model_cfg.max_len
+
+    def score_level_body(carry, t):
+        x, k, cache = carry
+        k, k_noise = jax.random.split(k)
+        t_batch = jnp.full((batch,), t, x.dtype)
+        _, std = scheduler.marginal_prob(x, t_batch)
+
+        def full_fn(c: CacheState):
+            score = score_apply(variables, model_cfg, x, t_batch)
+            eps_new = -std[..., None] * score
+            denom = jnp.linalg.norm(eps_new) + 1e-8
+            rel = jnp.linalg.norm(eps_new - c.eps_hat) / denom
+            steps_since = jnp.maximum(c.step - c.last_full_step, 1).astype(x.dtype)
+            drift_rate = jnp.where(c.step == 0, jnp.zeros((), x.dtype), rel / steps_since)
+            c = c.replace(
+                eps_hat=eps_new,
+                drift_rate=drift_rate,
+                err_acc=jnp.zeros((), x.dtype),
+                last_full_step=c.step,
+                full_steps=c.full_steps + 1,
+                recompute_count=c.recompute_count + max_len,
+            )
+            return score, c
+
+        def skip_fn(c: CacheState):
+            # Reconstruct the score from the cached noise prediction:
+            # score(t) = −ε̂ / std(t).  The whole network is skipped.
+            score = -c.eps_hat / std[..., None]
+            c = c.replace(
+                err_acc=c.err_acc + c.drift_rate,
+                cached_steps=c.cached_steps + 1,
+                cache_hit_count=c.cache_hit_count + max_len,
+            )
+            return score, c
+
+        compute = score_skip_decision(cache_cfg, cache)
+        score, cache = jax.lax.cond(compute, full_fn, skip_fn, cache)
+        score = maybe_fresca(score, t)
+        z = jax.random.normal(k_noise, x.shape, x.dtype)
+        x = scheduler.step(score, t, x, z, step_size)
+        cache = cache.replace(step=cache.step + 1)
+        return (x, k, cache), None
+
+    def kv_level_body(carry, t):
+        x, k, cache = carry
+        k, k_noise, k_probe = jax.random.split(k, 3)
+        t_batch = jnp.full((batch,), t, x.dtype)
+
+        if cache_cfg.policy == "macro":
+            mode, mask = macro_policy(cache_cfg, cache, max_len)
+        else:
+            mode, mask = event_policy(cache_cfg, cache, x, k_probe)
+
+        score, kv_new, crf = score_apply_cached(
+            variables, model_cfg, x, t_batch, (cache.k, cache.v), mask, mode
+        )
+        cache = update_after_forward(cache_cfg, cache, mode, mask, kv_new, crf, t)
+        score = maybe_fresca(score, t)
+        z = jax.random.normal(k_noise, x.shape, x.dtype)
+        x = scheduler.step(score, t, x, z, step_size)
+        cache = cache.replace(step=cache.step + 1)
+        return (x, k, cache), None
+
+    body = score_level_body if cache_cfg.level == "score" else kv_level_body
+    (x, _, cache_state), _ = jax.lax.scan(body, (x0, key, cache_state), ts)
+    return x, cache_state
+
+
+class DiffusionSampler:
+    """User-facing sampler (reference DiffusionSampler, sampler.py:14-228).
+
+    Args mirror the reference constructor; `cache_kwargs` accepts the same
+    keys as the torch `E2CRFCache` plus the policy/level extensions
+    (see :class:`fdtpu.cache.e2crf.E2CRFConfig`).
+    """
+
+    def __init__(
+        self,
+        score_model: ScoreModel,
+        sample_batch_size: int,
+        use_cache: bool = False,
+        cache_kwargs: Optional[dict] = None,
+        use_fresca: bool = False,
+        fresca_low_scale: float = 1.0,
+        fresca_high_scale: float = 1.5,
+        fresca_cutoff_ratio: float = 0.5,
+        fresca_cutoff_strategy: str = "energy",
+    ) -> None:
+        self.score_model = score_model
+        self.noise_scheduler = score_model.scheduler
+        self.sample_batch_size = sample_batch_size
+        self.n_channels = score_model.n_channels
+        self.max_len = score_model.max_len
+
+        self.use_cache = use_cache
+        self.cache_config = (
+            E2CRFConfig(**(cache_kwargs or {})) if use_cache else None
+        )
+        self.last_cache_state: Optional[CacheState] = None
+
+        self.use_fresca = use_fresca
+        self.fresca_low_scale = fresca_low_scale
+        self.fresca_high_scale = fresca_high_scale
+        self.fresca_cutoff_ratio = fresca_cutoff_ratio
+        self.fresca_cutoff_strategy = fresca_cutoff_strategy
+
+    def _init_cache(self, batch_size: int) -> Optional[CacheState]:
+        if not self.use_cache:
+            return None
+        cfg = self.score_model.config
+        return init_cache_state(
+            self.cache_config,
+            num_layers=cfg.num_layers,
+            batch=batch_size,
+            n_head=cfg.n_head,
+            max_len=cfg.max_len,
+            head_dim=cfg.head_dim,
+            d_model=cfg.d_model,
+            n_channels=cfg.n_channels,
+        )
+
+    def sample_prior(self, key: Array, batch_size: int) -> Array:
+        return self.noise_scheduler.prior_sampling(
+            key, (batch_size, self.max_len, self.n_channels)
+        )
+
+    def sample(
+        self,
+        num_samples: int,
+        num_diffusion_steps: Optional[int] = None,
+        key: Optional[Array] = None,
+    ) -> np.ndarray:
+        """Generate ``num_samples`` series.  Matches reference semantics:
+        remainder-dropping batch count (sampler.py:127) and cache persistence
+        across batches (sampler.py:149-153)."""
+        if num_diffusion_steps is None:
+            num_diffusion_steps = self.score_model.num_training_steps
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        num_batches = max(1, num_samples // self.sample_batch_size)
+        all_samples = []
+        cache_state: Optional[CacheState] = None
+
+        for batch_idx in range(num_batches):
+            batch_size = min(
+                num_samples - batch_idx * self.sample_batch_size,
+                self.sample_batch_size,
+            )
+            key, k_prior, k_chain = jax.random.split(key, 3)
+            x0 = self.sample_prior(k_prior, batch_size)
+
+            if self.use_cache and (
+                cache_state is None
+                or (self.cache_config.reset_between_batches)
+                or cache_state.k.shape[1] != batch_size
+            ):
+                cache_state = self._init_cache(batch_size)
+
+            x, cache_state = sample_chain(
+                self.score_model.variables,
+                self.noise_scheduler,
+                x0,
+                k_chain,
+                cache_state,
+                model_cfg=self.score_model.config,
+                cache_cfg=self.cache_config,
+                num_steps=num_diffusion_steps,
+                use_fresca=self.use_fresca,
+                fresca_low_scale=self.fresca_low_scale,
+                fresca_high_scale=self.fresca_high_scale,
+                fresca_cutoff_ratio=self.fresca_cutoff_ratio,
+                fresca_cutoff_strategy=self.fresca_cutoff_strategy,
+            )
+            all_samples.append(np.asarray(jax.block_until_ready(x)))
+
+        self.last_cache_state = cache_state
+        return np.concatenate(all_samples, axis=0)
+
+    def get_cache_stats(self) -> dict[str, Any]:
+        from fdtpu.cache.e2crf import cache_stats
+
+        if self.last_cache_state is None:
+            return {}
+        return cache_stats(self.last_cache_state)

@@ -1,0 +1,198 @@
+"""Training loop: jitted data-parallel train step, checkpoints, run dirs.
+
+Replaces the reference's PyTorch Lightning `Trainer` usage
+(`/root/reference/cmd/train.py:59-63`, conf/trainer/default.yaml) with a thin
+TPU-first loop:
+
+* one jitted ``train_step`` (loss → grad → AdamW update) whose batch axis is
+  sharded over the device-mesh ``data`` axis — XLA inserts the gradient
+  all-reduce over ICI (the reference has no data parallelism at all,
+  SURVEY.md §2.3);
+* per-epoch validation (val/loss, same DSM loss in eval mode);
+* best-checkpoint tracking on val/loss with Lightning-style filenames
+  (``epoch=N-val_loss=X.ckpt``, conf/trainer/callbacks/default.yaml:2-6),
+  stored via Orbax;
+* run directory with a config snapshot (``train_config.yaml``) and a JSONL
+  metrics log — the functional analog of lightning_logs/<run_id>/.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fdtpu.data.datamodules import Datamodule
+from fdtpu.diffusion.losses import sde_loss
+from fdtpu.dist.mesh import create_mesh, data_sharding, pad_to_multiple, replicate
+from fdtpu.models.score_models import ScoreModel, score_apply
+from fdtpu.train.checkpoint import save_checkpoint
+from fdtpu.train.state import TrainState, init_train_state, make_optimizer
+
+Array = jax.Array
+
+
+def get_training_params(datamodule: Datamodule, max_epochs: int, accumulate_grad_batches: int = 1) -> dict[str, Any]:
+    """Dataset-derived model kwargs (reference extraction.py:12-17)."""
+    params = dict(datamodule.dataset_parameters)
+    params["num_training_steps"] = int(
+        params["num_training_steps"] * max_epochs / accumulate_grad_batches
+    )
+    return params
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs: int = 1,
+        gradient_clip_val: float = 1.0,
+        run_dir: Path | str = Path.cwd() / "lightning_logs",
+        run_id: Optional[str] = None,
+        seed: int = 42,
+        use_mesh: bool = True,
+        log_every_n_steps: int = 50,
+        callbacks: Optional[list] = None,
+    ) -> None:
+        self.max_epochs = max_epochs
+        self.gradient_clip_val = gradient_clip_val
+        self.seed = seed
+        self.use_mesh = use_mesh
+        self.log_every_n_steps = log_every_n_steps
+        self.callbacks = callbacks or []
+
+        if run_id is None:
+            run_id = time.strftime("%Y%m%d_%H%M%S")
+        self.run_id = run_id
+        self.run_dir = Path(run_dir) / run_id
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.metrics_path = self.run_dir / "metrics.jsonl"
+        self.best_val_loss = float("inf")
+        self.best_checkpoint: Optional[Path] = None
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, model: ScoreModel, datamodule: Datamodule) -> ScoreModel:
+        key = jax.random.PRNGKey(self.seed)
+        cfg = model.config
+        scheduler = model.scheduler
+        constants = model.variables["constants"]
+
+        tx = make_optimizer(
+            lr_max=model.lr_max,
+            num_training_steps=model.num_training_steps,
+            gradient_clip_val=self.gradient_clip_val,
+        )
+        state = init_train_state(model.variables["params"], tx)
+
+        mesh = create_mesh() if self.use_mesh else None
+        n_shards = mesh.shape["data"] if mesh is not None else 1
+        if mesh is not None:
+            state = replicate(mesh, state)
+
+        def apply_fn(params, xn, t, train, rngs):
+            return score_apply(
+                {"params": params, "constants": constants}, cfg, xn, t,
+                train=train, rngs=rngs,
+            )
+
+        @jax.jit
+        def train_step(state: TrainState, batch: Array, step_key: Array):
+            def loss_fn(params):
+                return sde_loss(
+                    apply_fn, params, scheduler, batch, step_key,
+                    likelihood_weighting=model.likelihood_weighting, train=True,
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                state.replace(params=params, opt_state=opt_state, step=state.step + 1),
+                loss,
+            )
+
+        @jax.jit
+        def val_step(params, batch: Array, step_key: Array):
+            return sde_loss(
+                apply_fn, params, scheduler, batch, step_key,
+                likelihood_weighting=model.likelihood_weighting, train=False,
+            )
+
+        def put_batch(batch: np.ndarray) -> tuple[Array, int]:
+            batch, true_n = pad_to_multiple(batch, n_shards)
+            arr = jnp.asarray(batch)
+            if mesh is not None:
+                arr = jax.device_put(arr, data_sharding(mesh, arr.ndim))
+            return arr, true_n
+
+        global_step = 0
+        for epoch in range(self.max_epochs):
+            train_loader = datamodule.train_dataloader()
+            epoch_losses = []
+            t0 = time.time()
+            for batch in train_loader:
+                key, step_key = jax.random.split(key)
+                arr, _ = put_batch(batch)
+                state, loss = train_step(state, arr, step_key)
+                epoch_losses.append(loss)
+                global_step += 1
+                if global_step % self.log_every_n_steps == 0:
+                    self._log(
+                        {"step": global_step, "epoch": epoch,
+                         "train/loss": float(loss)}
+                    )
+
+            train_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+
+            val_losses, val_weights = [], []
+            for batch in datamodule.val_dataloader():
+                key, step_key = jax.random.split(key)
+                arr, true_n = put_batch(batch)
+                val_losses.append(float(val_step(state.params, arr, step_key)))
+                val_weights.append(true_n)
+            val_loss = float(np.average(val_losses, weights=val_weights)) if val_losses else float("nan")
+
+            dt = time.time() - t0
+            self._log(
+                {"step": global_step, "epoch": epoch, "train/loss_epoch": train_loss,
+                 "val/loss": val_loss, "epoch_time_s": round(dt, 2)}
+            )
+            logging.info(
+                "epoch %d: train/loss %.5f val/loss %.5f (%.1fs)",
+                epoch, train_loss, val_loss, dt,
+            )
+
+            if val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                model.variables = {
+                    "params": jax.device_get(state.params),
+                    "constants": jax.device_get(constants),
+                }
+                self.best_checkpoint = save_checkpoint(
+                    self.run_dir, model, epoch=epoch, val_loss=val_loss
+                )
+
+            for callback in self.callbacks:
+                callback.on_train_epoch_end(
+                    trainer=self, model_variables={"params": jax.device_get(state.params), "constants": constants},
+                    epoch=epoch,
+                )
+
+        # Final parameters (even if not best) are kept on the model only when
+        # no checkpoint improved — mirroring Lightning's in-memory behavior.
+        if self.best_checkpoint is None:
+            model.variables = {
+                "params": jax.device_get(state.params),
+                "constants": jax.device_get(constants),
+            }
+        return model
+
+    def _log(self, record: dict[str, Any]) -> None:
+        with open(self.metrics_path, "a") as f:
+            f.write(json.dumps(record) + "\n")

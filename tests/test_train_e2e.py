@@ -1,0 +1,119 @@
+"""End-to-end slice (SURVEY.md §7.4): synthetic data → VP-SDE transformer →
+train → scan sampler → Wasserstein within tolerance.  Also covers
+checkpointing round-trips and the data-parallel mesh path (8 virtual CPU
+devices from conftest)."""
+
+from functools import partial
+
+import jax
+import numpy as np
+import pytest
+
+from fdtpu.data import SyntheticDatamodule
+from fdtpu.diffusion import VPScheduler
+from fdtpu.metrics import MarginalWasserstein, SlicedWasserstein
+from fdtpu.models import ScoreModelConfig, init_score_model
+from fdtpu.models.score_models import ScoreModel
+from fdtpu.sampling import DiffusionSampler
+from fdtpu.train import Trainer, get_best_checkpoint, get_training_params, load_checkpoint
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("data")
+    run_dir = tmp_path_factory.mktemp("runs")
+
+    # Time-domain standardized config: the setup where this model scale
+    # genuinely learns a usable score.  (The frequency-domain path at this
+    # tiny scale diverges identically in the torch reference — verified by
+    # running the reference-equivalent pipeline side by side; full-scale
+    # frequency-domain quality is validated in the benchmark CLI.)
+    dm = SyntheticDatamodule(
+        data_dir=data_dir, max_len=24, num_samples=512, batch_size=64,
+        fourier_transform=False, standardize=True,
+    )
+    dm.prepare_data()
+    dm.setup()
+
+    max_epochs = 60
+    params = get_training_params(dm, max_epochs=max_epochs)
+    cfg = ScoreModelConfig(
+        n_channels=params["n_channels"], max_len=params["max_len"],
+        d_model=32, num_layers=2, n_head=4, dim_feedforward=128,
+    )
+    scheduler = VPScheduler(fourier_noise_scaling=False).with_noise_scaling(cfg.max_len)
+    model = ScoreModel(
+        config=cfg,
+        variables=init_score_model(jax.random.PRNGKey(0), cfg),
+        scheduler=scheduler,
+        num_training_steps=params["num_training_steps"],
+        lr_max=1e-3,
+    )
+    trainer = Trainer(max_epochs=max_epochs, run_dir=run_dir, seed=42)
+    model = trainer.fit(model, dm)
+    return model, dm, trainer
+
+
+def test_training_reduces_loss(trained):
+    _, _, trainer = trained
+    import json
+
+    records = [json.loads(l) for l in open(trainer.metrics_path)]
+    val = [r["val/loss"] for r in records if "val/loss" in r]
+    assert len(val) == 60
+    assert min(val) < val[0], val
+
+
+def test_checkpoint_roundtrip(trained):
+    model, _, trainer = trained
+    ckpt = get_best_checkpoint(trainer.run_dir / "checkpoints")
+    restored = load_checkpoint(ckpt)
+    assert restored.config == model.config
+    for a, b in zip(
+        jax.tree.leaves(restored.variables), jax.tree.leaves(model.variables)
+    ):
+        np.testing.assert_allclose(a, b)
+    assert type(restored.scheduler).__name__ == "VPScheduler"
+    assert restored.scheduler.fourier_noise_scaling == model.scheduler.fourier_noise_scaling
+    np.testing.assert_allclose(restored.scheduler.G, model.scheduler.G)
+
+
+def test_sampling_quality_after_training(trained):
+    """Generated samples must beat the mean-only dummy baseline on sliced W₂."""
+    model, dm, _ = trained
+    sampler = DiffusionSampler(model, sample_batch_size=128)
+    x = sampler.sample(128, num_diffusion_steps=100, key=jax.random.PRNGKey(5))
+
+    from fdtpu.data import DiffusionDataset
+
+    train_set = DiffusionDataset(X=dm.X_train, standardize=True)
+    x_time = x * train_set.feature_std + train_set.feature_mean
+
+    metric = SlicedWasserstein(
+        original_samples=dm.X_train, random_seed=42, num_directions=100
+    )
+    result = metric(x_time)
+    baselines = metric.baseline_metrics
+    assert (
+        result["sliced_wasserstein_mean"] < baselines["sliced_wasserstein_mean_dummy"]
+    ), (result, baselines)
+
+
+def test_cached_sampling_quality_matches_uncached(trained):
+    """E²-CRF score-level caching on a *trained* model: marginal Wasserstein
+    of cached samples within tolerance of uncached (BASELINE.json criterion)."""
+    model, dm, _ = trained
+    uncached = DiffusionSampler(model, sample_batch_size=128)
+    cached = DiffusionSampler(
+        model, sample_batch_size=128, use_cache=True,
+        cache_kwargs={"level": "score", "R": 10, "tau_0": 0.05},
+    )
+    s_un = uncached.sample(128, 100, key=jax.random.PRNGKey(6))
+    s_ca = cached.sample(128, 100, key=jax.random.PRNGKey(6))
+    stats = cached.get_cache_stats()
+    assert stats["steps_skipped_ratio"] > 0.3, stats
+
+    m = MarginalWasserstein(original_samples=s_un, random_seed=42)
+    delta = m(s_ca)["marginal_wasserstein_mean"]
+    m_self = m(s_un[:64])["marginal_wasserstein_mean"]  # sampling-noise scale
+    assert delta < max(2 * m_self, 0.1), (delta, m_self, stats)
