@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""E²-CRF ablation CLI (reference `/root/reference/cmd/ablation_cache.py`).
+
+Runs the six ablation configurations of the paper's Table 3 against a trained
+model and writes ``ablation_results/ablation_results.json``:
+
+  baseline            — no caching
+  full_e2crf          — event-driven score-level skipping (full method)
+  no_event_trigger    — fixed R-periodic schedule only (error budget off)
+  no_error_feedback   — skip everything after warmup (no refresh)
+  no_energy_weighting — KV event policy without spectral-energy weighting
+  naive_caching       — KV macro policy (the reference's live behavior)
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import os
+
+import jax
+
+if os.environ.get("FDTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FDTPU_PLATFORM"])
+
+from fdtpu.metrics import SlicedWasserstein
+from fdtpu.sampling import DiffusionSampler
+from fdtpu.train import get_best_checkpoint, load_checkpoint
+from fdtpu.utils.builders import resolve_model_dir
+from fdtpu.utils.config import compose_config
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
+
+ABLATIONS: list[tuple[str, dict]] = [
+    ("baseline", {}),
+    ("full_e2crf", dict(use_cache=True, cache_kwargs={"level": "score", "policy": "event", "R": 10, "tau_0": 0.05})),
+    ("no_event_trigger", dict(use_cache=True, cache_kwargs={"level": "score", "R": 10, "tau_0": 1e9})),
+    ("no_error_feedback", dict(use_cache=True, cache_kwargs={"level": "score", "R": 999999, "tau_0": 1e9})),
+    ("no_energy_weighting", dict(use_cache=True, cache_kwargs={"level": "kv", "policy": "event", "R": 10, "energy_weighting": False})),
+    ("naive_caching", dict(use_cache=True, cache_kwargs={"level": "kv", "policy": "macro"})),
+]
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
+    cfg = compose_config(CONFIG_DIR, "sample", sys.argv[1:])
+
+    model_dir = resolve_model_dir(cfg["model_path"], cfg["model_id"])
+    ckpt = get_best_checkpoint(model_dir / "checkpoints")
+    logging.info("Ablating checkpoint %s", ckpt)
+    model = load_checkpoint(ckpt)
+
+    num_samples = int(cfg["num_samples"])
+    steps = int(cfg["num_diffusion_steps"])
+    batch = int(cfg["sampler"]["sample_batch_size"])
+
+    results: dict[str, dict] = {}
+    baseline_time = None
+    baseline_samples = None
+    for name, kw in ABLATIONS:
+        sampler = DiffusionSampler(model, sample_batch_size=batch, **kw)
+        sampler.sample(min(batch, num_samples), steps, key=jax.random.PRNGKey(0))
+        sampler.last_cache_state = None
+        t0 = time.time()
+        samples = sampler.sample(num_samples, steps, key=jax.random.PRNGKey(42))
+        elapsed = time.time() - t0
+        entry = {
+            "time_s": round(elapsed, 4),
+            "samples_per_s": round(samples.shape[0] / elapsed, 2),
+        }
+        if baseline_time is None:
+            baseline_time = elapsed
+            baseline_samples = samples
+            sw_metric = SlicedWasserstein(
+                original_samples=baseline_samples, random_seed=42, num_directions=200
+            )
+        else:
+            entry["speedup"] = round(baseline_time / elapsed, 3)
+            entry["sw_vs_baseline"] = sw_metric(samples)["sliced_wasserstein_mean"]
+        if kw.get("use_cache"):
+            entry["cache_stats"] = sampler.get_cache_stats()
+        results[name] = entry
+        logging.info("%-22s %s", name, json.dumps(entry))
+
+    out_dir = Path("ablation_results")
+    out_dir.mkdir(exist_ok=True)
+    with open(out_dir / "ablation_results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    logging.info("Wrote %s", out_dir / "ablation_results.json")
+
+    # Summary table (reference ablation_cache.py:221-247).
+    print(f"\n{'config':<24}{'time (s)':>10}{'speedup':>10}{'skipped':>10}{'SW':>12}")
+    for name, entry in results.items():
+        skipped = entry.get("cache_stats", {}).get("steps_skipped_ratio", 0.0)
+        print(
+            f"{name:<24}{entry['time_s']:>10.3f}{entry.get('speedup', 1.0):>10.2f}"
+            f"{skipped:>10.2f}{entry.get('sw_vs_baseline', float('nan')):>12.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

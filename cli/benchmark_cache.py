@@ -1,0 +1,203 @@
+#!/usr/bin/env python
+"""E²-CRF cache benchmark CLI (reference `/root/reference/cmd/benchmark_cache.py`).
+
+Times uncached vs cached (vs cached+FreSca) sampling on a trained model,
+sweeps the cache hyperparameters (K, R, tau_0, level, policy), writes a CSV
+and figures into ``outputs/cache_benchmark/``.
+
+Usage:
+    python cli/benchmark_cache.py model_id=latest [num_samples=..]
+    python cli/benchmark_cache.py model_id=latest run_ablations=false
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import os
+
+import jax
+
+if os.environ.get("FDTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FDTPU_PLATFORM"])
+
+import numpy as np
+import pandas as pd
+
+from fdtpu.metrics import SlicedWasserstein
+from fdtpu.models.score_models import ScoreModel
+from fdtpu.sampling import DiffusionSampler
+from fdtpu.train import get_best_checkpoint, load_checkpoint
+from fdtpu.utils.builders import resolve_model_dir
+from fdtpu.utils.config import compose_config
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
+
+
+def benchmark_sampling(
+    model: ScoreModel,
+    num_samples: int,
+    num_diffusion_steps: int,
+    sample_batch_size: int,
+    use_cache: bool = False,
+    cache_kwargs: Optional[dict] = None,
+    use_fresca: bool = False,
+    fresca_kwargs: Optional[dict] = None,
+    warmup: bool = True,
+    seed: int = 42,
+) -> dict[str, Any]:
+    """Warmup (compile) then time one sampling run with block_until_ready
+    semantics (reference benchmark_sampling, benchmark_cache.py:42-112)."""
+    sampler = DiffusionSampler(
+        model,
+        sample_batch_size=sample_batch_size,
+        use_cache=use_cache,
+        cache_kwargs=cache_kwargs or {},
+        use_fresca=use_fresca,
+        **(fresca_kwargs or {}),
+    )
+    if warmup:
+        sampler.sample(
+            min(sample_batch_size, num_samples),
+            num_diffusion_steps,
+            key=jax.random.PRNGKey(0),
+        )
+        sampler.last_cache_state = None
+
+    t0 = time.time()
+    samples = sampler.sample(
+        num_samples, num_diffusion_steps, key=jax.random.PRNGKey(seed)
+    )
+    elapsed = time.time() - t0
+    result: dict[str, Any] = {
+        "time_s": elapsed,
+        "samples_per_s": samples.shape[0] / elapsed,
+        "num_samples": samples.shape[0],
+        "num_diffusion_steps": num_diffusion_steps,
+    }
+    if use_cache:
+        result.update(
+            {f"cache_{k}": v for k, v in sampler.get_cache_stats().items()}
+        )
+    result["_samples"] = samples
+    return result
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
+    cfg = compose_config(CONFIG_DIR, "sample", sys.argv[1:])
+
+    model_dir = resolve_model_dir(cfg["model_path"], cfg["model_id"])
+    ckpt = get_best_checkpoint(model_dir / "checkpoints")
+    logging.info("Benchmarking checkpoint %s", ckpt)
+    model = load_checkpoint(ckpt)
+
+    num_samples = int(cfg["num_samples"])
+    steps = int(cfg["num_diffusion_steps"])
+    batch = int(cfg["sampler"]["sample_batch_size"])
+    out_dir = Path("outputs/cache_benchmark")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    rows: list[dict[str, Any]] = []
+
+    def record(name: str, res: dict[str, Any], baseline_time: Optional[float]) -> None:
+        row = {"method": name, **{k: v for k, v in res.items() if k != "_samples"}}
+        if baseline_time is not None:
+            row["speedup"] = baseline_time / res["time_s"]
+        rows.append(row)
+        logging.info(
+            "%-28s %7.3fs  %8.1f samples/s  speedup %.2fx  skipped %.0f%%",
+            name, res["time_s"], res["samples_per_s"], row.get("speedup", 1.0),
+            100 * res.get("cache_steps_skipped_ratio", 0.0),
+        )
+
+    # --- headline comparison (reference benchmark_cache.py main flow)
+    baseline = benchmark_sampling(model, num_samples, steps, batch)
+    record("baseline", baseline, None)
+    t_base = baseline["time_s"]
+
+    sw = SlicedWasserstein(
+        original_samples=baseline["_samples"], random_seed=42, num_directions=200
+    )
+
+    headline = [
+        ("e2crf_score", dict(use_cache=True, cache_kwargs={"level": "score", "R": 10, "tau_0": 0.05})),
+        ("e2crf_kv_event", dict(use_cache=True, cache_kwargs={"level": "kv", "policy": "event", "K": 5, "R": 10})),
+        ("e2crf_kv_macro", dict(use_cache=True, cache_kwargs={"level": "kv", "policy": "macro", "K": 5, "R": 10})),
+        ("e2crf_score_fresca", dict(
+            use_cache=True, cache_kwargs={"level": "score", "R": 10, "tau_0": 0.05},
+            use_fresca=True, fresca_kwargs={"fresca_high_scale": 1.5},
+        )),
+    ]
+    for name, kw in headline:
+        res = benchmark_sampling(model, num_samples, steps, batch, **kw)
+        res["sw_vs_baseline"] = sw(res["_samples"])["sliced_wasserstein_mean"]
+        record(name, res, t_base)
+
+    # --- hyperparameter sweeps (reference benchmark_cache.py:273-422)
+    if cfg.get("run_ablations", True):
+        for r_val in (5, 10, 20, 50):
+            res = benchmark_sampling(
+                model, num_samples, steps, batch,
+                use_cache=True, cache_kwargs={"level": "score", "R": r_val, "tau_0": 0.05},
+            )
+            res["sw_vs_baseline"] = sw(res["_samples"])["sliced_wasserstein_mean"]
+            record(f"score_R{r_val}", res, t_base)
+        for tau in (0.01, 0.05, 0.1, 0.5):
+            res = benchmark_sampling(
+                model, num_samples, steps, batch,
+                use_cache=True, cache_kwargs={"level": "score", "R": 20, "tau_0": tau},
+            )
+            res["sw_vs_baseline"] = sw(res["_samples"])["sliced_wasserstein_mean"]
+            record(f"score_tau{tau}", res, t_base)
+        for k_val in (0, 3, 5, 10):
+            res = benchmark_sampling(
+                model, num_samples, steps, batch,
+                use_cache=True,
+                cache_kwargs={"level": "kv", "policy": "event", "K": k_val, "R": 10},
+            )
+            record(f"kv_K{k_val}", res, t_base)
+
+    df = pd.DataFrame(rows)
+    csv_path = out_dir / "benchmark_results.csv"
+    df.to_csv(csv_path, index=False)
+    logging.info("Wrote %s", csv_path)
+
+    # --- figures (reference benchmark_cache.py:426-600)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+        head = df[df["method"].isin([n for n, _ in headline] + ["baseline"])]
+        axes[0].bar(head["method"], head["samples_per_s"])
+        axes[0].set_ylabel("samples / s")
+        axes[0].tick_params(axis="x", rotation=30)
+        axes[0].set_title("Sampling throughput")
+        sweep = df[df["method"].str.startswith("score_R")]
+        if len(sweep):
+            axes[1].plot(
+                [int(m[len("score_R"):]) for m in sweep["method"]],
+                sweep["speedup"], "o-",
+            )
+            axes[1].set_xlabel("R (refresh interval)")
+            axes[1].set_ylabel("speedup vs baseline")
+            axes[1].set_title("Score-level E²-CRF sweep")
+        fig.tight_layout()
+        fig.savefig(out_dir / "benchmark_summary.pdf")
+        fig.savefig(out_dir / "benchmark_summary.png", dpi=150)
+        logging.info("Wrote figures to %s", out_dir)
+    except Exception as exc:  # pragma: no cover - plotting is best-effort
+        logging.warning("Figure generation failed: %s", exc)
+
+
+if __name__ == "__main__":
+    main()

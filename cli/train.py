@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Training CLI (reference `/root/reference/cmd/train.py`).
+
+Usage:
+    python cli/train.py [overrides...]
+    python cli/train.py datamodule=synthetic fourier_transform=true \\
+        trainer.max_epochs=10 score_model=lstm
+
+Composes ``configs/train.yaml``, builds the datamodule and score model,
+saves the config snapshot into the run dir, and fits.
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import os
+
+import jax
+
+# The container sitecustomize imports jax before CLI code runs, so the
+# JAX_PLATFORMS env var is already snapshotted; FDTPU_PLATFORM=cpu forces
+# the backend through the config API instead.
+if os.environ.get("FDTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FDTPU_PLATFORM"])
+
+from fdtpu.train import Trainer
+from fdtpu.train.trainer import get_training_params
+from fdtpu.utils.builders import build_datamodule, build_model
+from fdtpu.utils.config import compose_config, dict_to_str, flatten_config, save_config
+
+CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
+
+
+class TrainingRunner:
+    """Mirrors reference TrainingRunner (cmd/train.py:19-63)."""
+
+    def __init__(self, cfg: dict) -> None:
+        self.cfg = cfg
+        logging.info("Training config:\n%s", dict_to_str(flatten_config(cfg)))
+
+        self.datamodule = build_datamodule(cfg)
+        self.datamodule.prepare_data()
+        self.datamodule.setup("fit")
+
+        trainer_cfg = dict(cfg["trainer"])
+        trainer_cfg.pop("name", None)
+        trainer_cfg.pop("sampling_callback", None)
+        self.trainer = Trainer(
+            run_dir=cfg.get("run_dir", "lightning_logs"),
+            seed=int(cfg.get("random_seed", 42)),
+            **{
+                k: v
+                for k, v in trainer_cfg.items()
+                if k in ("max_epochs", "gradient_clip_val", "log_every_n_steps", "use_mesh")
+            },
+        )
+
+        # Persist the config for cli/sample.py (reference cmd/train.py:40-43).
+        save_config(cfg, self.trainer.run_dir / "train_config.yaml")
+
+        params = get_training_params(self.datamodule, self.trainer.max_epochs)
+        self.model = build_model(cfg, params, key=jax.random.PRNGKey(cfg["random_seed"]))
+
+        # Fourier noise scaling requires frequency-domain data
+        # (reference cmd/train.py:60-62).
+        if self.model.scheduler.fourier_noise_scaling:
+            assert cfg["fourier_transform"], (
+                "fourier_noise_scaling=true requires fourier_transform=true"
+            )
+
+        # Optional per-epoch sampling evaluation (reference SamplingCallback).
+        sc = cfg["trainer"].get("sampling_callback") or {}
+        if sc.get("enabled"):
+            from fdtpu.train.callbacks import SamplingCallback
+
+            self.trainer.callbacks.append(
+                SamplingCallback(
+                    datamodule=self.datamodule,
+                    model_template=self.model,
+                    every_n_epochs=int(sc.get("every_n_epochs", 10)),
+                    sample_batch_size=int(sc.get("sample_batch_size", 64)),
+                    num_samples=int(sc.get("num_samples", 200)),
+                    num_diffusion_steps=int(sc.get("num_diffusion_steps", 1000)),
+                    num_directions=int(sc.get("num_directions", 200)),
+                    random_seed=int(cfg.get("random_seed", 42)),
+                )
+            )
+
+    def train(self) -> None:
+        self.trainer.fit(self.model, self.datamodule)
+        logging.info(
+            "Run %s finished; best val/loss %.5f; checkpoints in %s",
+            self.trainer.run_id,
+            self.trainer.best_val_loss,
+            self.trainer.run_dir / "checkpoints",
+        )
+
+
+def main() -> None:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
+    cfg = compose_config(CONFIG_DIR, "train", sys.argv[1:])
+    runner = TrainingRunner(cfg)
+    runner.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -67,6 +67,9 @@ class E2CRFConfig:
     policy: str = "event"  # "event" | "macro"
     level: str = "kv"  # "kv" | "score"
     random_probe_ratio: float = 0.0
+    # Ablation switch: weight per-token CRF drift by spectral energy
+    # (paper's energy weighting; reference ablation "no_energy_weighting").
+    energy_weighting: bool = True
     # FreqCa (frequency-aware CRF prediction)
     use_freqca: bool = False
     freq_decomp: str = "dct"
@@ -81,6 +84,40 @@ class E2CRFConfig:
     def macro_interval(self) -> int:
         """Reference auto-scaling: R < 100 → 500 (caching.py:164-167)."""
         return 500 if self.R < 100 else self.R
+
+    def policy_params(self) -> "PolicyParams":
+        """Traced numeric knobs — swept values don't recompile the sampler."""
+        return PolicyParams(
+            K=jnp.asarray(self.K, jnp.int32),
+            R=jnp.asarray(self.R, jnp.int32),
+            tau_0=jnp.asarray(self.tau_0, jnp.float32),
+            tau_warn=jnp.asarray(self.tau_warn, jnp.float32),
+            random_probe_ratio=jnp.asarray(self.random_probe_ratio, jnp.float32),
+        )
+
+    def static_key(self) -> tuple:
+        """The structural fields that legitimately shape the compiled program."""
+        return (
+            self.policy,
+            self.level,
+            self.use_freqca,
+            self.freq_decomp,
+            self.low_freq_ratio,
+            self.max_history,
+            self.hermite_order,
+            self.freq_decomp_interval,
+            self.energy_weighting,
+        )
+
+
+class PolicyParams(struct.PyTreeNode):
+    """Numeric cache-policy knobs, traced through the compiled sampler."""
+
+    K: Array
+    R: Array
+    tau_0: Array
+    tau_warn: Array
+    random_probe_ratio: Array
 
 
 class CacheState(struct.PyTreeNode):
@@ -125,21 +162,36 @@ def init_cache_state(
     n_channels: int,
     dtype=jnp.float32,
 ) -> CacheState:
+    """Allocate only the state the configured level/options actually use —
+    unused fields get zero-size placeholders so the scan carry stays lean
+    (the KV store alone is tens of MB at flagship batch sizes)."""
     zero = jnp.zeros((), jnp.int32)
+    kv_shape = (
+        (num_layers, batch, n_head, max_len, head_dim)
+        if cfg.level == "kv"
+        else (0,)
+    )
+    crf_shape = (num_layers, max_len, d_model) if cfg.level == "kv" else (0,)
+    eps_shape = (batch, max_len, n_channels) if cfg.level == "score" else (0,)
+    hist_shape = (
+        (cfg.max_history, num_layers, max_len, d_model)
+        if (cfg.use_freqca and cfg.level == "kv")
+        else (0,)
+    )
     return CacheState(
-        k=jnp.zeros((num_layers, batch, n_head, max_len, head_dim), dtype),
-        v=jnp.zeros((num_layers, batch, n_head, max_len, head_dim), dtype),
-        crf_prev=jnp.zeros((num_layers, max_len, d_model), dtype),
+        k=jnp.zeros(kv_shape, dtype),
+        v=jnp.zeros(kv_shape, dtype),
+        crf_prev=jnp.zeros(crf_shape, dtype),
         delta_tok=jnp.zeros((max_len,), dtype),
-        eps_hat=jnp.zeros((batch, max_len, n_channels), dtype),
+        eps_hat=jnp.zeros(eps_shape, dtype),
         drift_rate=jnp.zeros((), dtype),
         err_acc=jnp.zeros((), dtype),
         last_full_step=zero,
-        crf_low=jnp.zeros((num_layers, max_len, d_model), dtype),
-        crf_high_hist=jnp.zeros(
-            (cfg.max_history, num_layers, max_len, d_model), dtype
+        crf_low=jnp.zeros(hist_shape[1:] if len(hist_shape) > 1 else (0,), dtype),
+        crf_high_hist=jnp.zeros(hist_shape, dtype),
+        crf_t_hist=jnp.zeros(
+            (cfg.max_history,) if cfg.use_freqca else (0,), dtype
         ),
-        crf_t_hist=jnp.zeros((cfg.max_history,), dtype),
         hist_len=zero,
         step=zero,
         recompute_count=zero,
@@ -152,7 +204,7 @@ def init_cache_state(
 
 # ----------------------------------------------------------------- policies
 def macro_policy(
-    cfg: E2CRFConfig, state: CacheState, max_len: int
+    pp: PolicyParams, state: CacheState, max_len: int
 ) -> tuple[Array, Array]:
     """Reference live policy (caching.py:153-181).
 
@@ -162,11 +214,12 @@ def macro_policy(
     """
     step = state.step
     idx = jnp.arange(max_len)
-    k_tokens = min(cfg.K, max_len)
-    refresh_count = min(2 * k_tokens, max_len)
+    k_tokens = jnp.minimum(pp.K, max_len)
+    refresh_count = jnp.minimum(2 * k_tokens, max_len)
+    interval = jnp.where(pp.R < 100, 500, pp.R)
 
     is_first = step == 0
-    is_refresh = (step % cfg.macro_interval) == 0
+    is_refresh = (step % interval) == 0
 
     mode = jnp.where(
         is_first, MODE_FULL, jnp.where(is_refresh, MODE_MIXED, MODE_CACHED)
@@ -181,6 +234,7 @@ def macro_policy(
 
 def event_policy(
     cfg: E2CRFConfig,
+    pp: PolicyParams,
     state: CacheState,
     x: Array,
     key: Array,
@@ -196,18 +250,21 @@ def event_policy(
     step = state.step
 
     # Spectral-energy weighting: token energy share of the current state.
-    energy = jnp.mean(x**2, axis=(0, 2))  # (T,)
-    energy_w = energy / (jnp.mean(energy) + 1e-8)
+    if cfg.energy_weighting:
+        energy = jnp.mean(x**2, axis=(0, 2))  # (T,)
+        energy_w = energy / (jnp.mean(energy) + 1e-8)
+    else:
+        energy_w = jnp.ones((max_len,), x.dtype)
 
     weighted_drift = state.delta_tok * energy_w
-    trigger = weighted_drift > cfg.tau_0
-    low = idx < min(cfg.K, max_len)
-    probe = jax.random.uniform(key, (max_len,)) < cfg.random_probe_ratio
+    trigger = weighted_drift > pp.tau_0
+    low = idx < jnp.minimum(pp.K, max_len)
+    probe = jax.random.uniform(key, (max_len,)) < pp.random_probe_ratio
     mask = trigger | low | probe
 
     is_first = step == 0
-    is_refresh = (step - state.last_full_step) >= cfg.R
-    is_warn = jnp.mean(state.delta_tok) > cfg.tau_warn
+    is_refresh = (step - state.last_full_step) >= pp.R
+    is_warn = jnp.mean(state.delta_tok) > pp.tau_warn
     full = is_first | is_refresh | is_warn
 
     any_token = jnp.any(mask)
@@ -218,7 +275,7 @@ def event_policy(
     return mode, mask
 
 
-def score_skip_decision(cfg: E2CRFConfig, state: CacheState) -> Array:
+def score_skip_decision(pp: PolicyParams, state: CacheState) -> Array:
     """Score-level skip gate: True → run the network this step.
 
     Error feedback: skip while the accumulated predicted ε̂ drift stays
@@ -229,8 +286,8 @@ def score_skip_decision(cfg: E2CRFConfig, state: CacheState) -> Array:
     # Calibration: right after a cold start the drift rate is unknown (0) —
     # run one extra full step to measure it before trusting the skip budget.
     is_calibration = ((step - state.last_full_step) == 1) & (state.drift_rate == 0)
-    interval_expired = (step - state.last_full_step) >= cfg.R
-    budget_exceeded = state.err_acc >= cfg.tau_0
+    interval_expired = (step - state.last_full_step) >= pp.R
+    budget_exceeded = state.err_acc >= pp.tau_0
     return is_first | is_calibration | interval_expired | budget_exceeded
 
 

@@ -29,9 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import dataclasses
+
 from fdtpu.cache.e2crf import (
     CacheState,
     E2CRFConfig,
+    PolicyParams,
     event_policy,
     init_cache_state,
     macro_policy,
@@ -51,16 +54,6 @@ from fdtpu.ops.fresca import apply_fresca_to_score
 Array = jax.Array
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "model_cfg",
-        "cache_cfg",
-        "num_steps",
-        "use_fresca",
-        "fresca_cutoff_strategy",
-    ),
-)
 def sample_chain(
     variables: dict[str, Any],
     scheduler: SDE,
@@ -80,7 +73,65 @@ def sample_chain(
     """Run the full reverse diffusion from prior sample ``x0``.
 
     Returns the generated batch and the (possibly updated) cache state.
+
+    The numeric cache knobs (K, R, τ₀, τ_warn, probe ratio) and the FreSca
+    scales are *traced*, so hyperparameter sweeps reuse one compiled program;
+    only structural choices (policy, level, FreqCa) recompile.
     """
+    if cache_cfg is not None:
+        pp = cache_cfg.policy_params()
+        # Normalize traced fields so the static hash is sweep-invariant.
+        cache_cfg = dataclasses.replace(
+            cache_cfg, K=0, R=0, tau_0=0.0, tau_warn=0.0, random_probe_ratio=0.0
+        )
+    else:
+        pp = None
+    return _sample_chain(
+        variables,
+        scheduler,
+        x0,
+        key,
+        cache_state,
+        pp,
+        jnp.asarray(fresca_low_scale, x0.dtype),
+        jnp.asarray(fresca_high_scale, x0.dtype),
+        model_cfg=model_cfg,
+        cache_cfg=cache_cfg,
+        num_steps=num_steps,
+        use_fresca=use_fresca,
+        fresca_cutoff_ratio=fresca_cutoff_ratio,
+        fresca_cutoff_strategy=fresca_cutoff_strategy,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "model_cfg",
+        "cache_cfg",
+        "num_steps",
+        "use_fresca",
+        "fresca_cutoff_ratio",
+        "fresca_cutoff_strategy",
+    ),
+)
+def _sample_chain(
+    variables: dict[str, Any],
+    scheduler: SDE,
+    x0: Array,
+    key: Array,
+    cache_state: Optional[CacheState],
+    pp: Optional[PolicyParams],
+    fresca_low_scale: Array,
+    fresca_high_scale: Array,
+    *,
+    model_cfg: ScoreModelConfig,
+    cache_cfg: Optional[E2CRFConfig],
+    num_steps: int,
+    use_fresca: bool,
+    fresca_cutoff_ratio: float,
+    fresca_cutoff_strategy: str,
+) -> tuple[Array, Optional[CacheState]]:
     ts, step_size = scheduler.timesteps(num_steps)
     use_cache = cache_cfg is not None
     batch = x0.shape[0]
@@ -149,7 +200,7 @@ def sample_chain(
             )
             return score, c
 
-        compute = score_skip_decision(cache_cfg, cache)
+        compute = score_skip_decision(pp, cache)
         score, cache = jax.lax.cond(compute, full_fn, skip_fn, cache)
         score = maybe_fresca(score, t)
         z = jax.random.normal(k_noise, x.shape, x.dtype)
@@ -163,9 +214,9 @@ def sample_chain(
         t_batch = jnp.full((batch,), t, x.dtype)
 
         if cache_cfg.policy == "macro":
-            mode, mask = macro_policy(cache_cfg, cache, max_len)
+            mode, mask = macro_policy(pp, cache, max_len)
         else:
-            mode, mask = event_policy(cache_cfg, cache, x, k_probe)
+            mode, mask = event_policy(cache_cfg, pp, cache, x, k_probe)
 
         score, kv_new, crf = score_apply_cached(
             variables, model_cfg, x, t_batch, (cache.k, cache.v), mask, mode

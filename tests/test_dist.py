@@ -1,0 +1,95 @@
+"""Mesh / sharding tests on the virtual 8-device CPU mesh (SURVEY.md §2.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdtpu.dist import MeshConfig, create_mesh, data_sharding, replicate, shard_batch
+from fdtpu.dist.mesh import pad_to_multiple
+
+
+def test_mesh_covers_all_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == 8
+
+
+def test_mesh_config_model_axis():
+    mesh = create_mesh(MeshConfig(model=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        MeshConfig(data=3, model=2).resolve(8)
+
+
+def test_shard_batch_places_on_all_devices():
+    mesh = create_mesh()
+    batch = np.arange(8 * 4 * 2, dtype=np.float32).reshape(8, 4, 2)
+    sharded = shard_batch(mesh, batch)
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sharded), batch)
+
+
+def test_replicate():
+    mesh = create_mesh()
+    tree = {"a": jnp.ones((3, 3)), "b": jnp.zeros((2,))}
+    rep = replicate(mesh, tree)
+    assert rep["a"].sharding.is_fully_replicated
+
+
+def test_pad_to_multiple():
+    x = np.ones((10, 3))
+    padded, n = pad_to_multiple(x, 8)
+    assert padded.shape[0] == 16 and n == 10
+    same, n2 = pad_to_multiple(np.ones((16, 3)), 8)
+    assert same.shape[0] == 16 and n2 == 16
+
+
+def test_data_parallel_loss_matches_single_device():
+    """The sharded jitted loss must equal the unsharded one."""
+    from fdtpu.diffusion import VPScheduler
+    from fdtpu.diffusion.losses import sde_loss
+    from fdtpu.models import ScoreModelConfig, init_score_model, score_apply
+
+    cfg = ScoreModelConfig(
+        n_channels=2, max_len=16, d_model=8, num_layers=1, n_head=2,
+        dim_feedforward=16,
+    )
+    variables = init_score_model(jax.random.PRNGKey(0), cfg)
+    sde = VPScheduler().with_noise_scaling(16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 16, 2))
+
+    def apply_fn(params, xn, t, train, rngs):
+        return score_apply(
+            {"params": params, "constants": variables["constants"]}, cfg, xn, t,
+            train=train, rngs=rngs,
+        )
+
+    def loss_fn(params, batch):
+        return sde_loss(apply_fn, params, sde, batch, jax.random.PRNGKey(2), train=False)
+
+    single = jax.jit(loss_fn)(variables["params"], x)
+
+    mesh = create_mesh()
+    params_rep = replicate(mesh, variables["params"])
+    x_sharded = shard_batch(mesh, x)
+    sharded = jax.jit(loss_fn)(params_rep, x_sharded)
+    np.testing.assert_allclose(float(single), float(sharded), rtol=1e-5)
+
+
+def test_graft_entry_contract():
+    """The driver contract: entry() compiles; dryrun_multichip(8) runs."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == args[0].shape
+
+    mod.dryrun_multichip(8)
