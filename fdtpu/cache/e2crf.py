@@ -124,8 +124,8 @@ class CacheState(struct.PyTreeNode):
     """Pytree carried through the sampling scan."""
 
     # Per-layer, per-batch KV store (fixes reference quirk Q3):
-    k: Array  # (num_layers, B, H, T, Dh)
-    v: Array  # (num_layers, B, H, T, Dh)
+    k: Array  # (num_layers, B, T, H, Dh)
+    v: Array  # (num_layers, B, T, H, Dh)
     # Cumulative residual features of the previous step (batch element 0,
     # matching reference score_models.py:183-190):
     crf_prev: Array  # (num_layers, T, d_model)
@@ -161,13 +161,19 @@ def init_cache_state(
     d_model: int,
     n_channels: int,
     dtype=jnp.float32,
+    kv_dtype=None,
 ) -> CacheState:
     """Allocate only the state the configured level/options actually use —
     unused fields get zero-size placeholders so the scan carry stays lean
-    (the KV store alone is tens of MB at flagship batch sizes)."""
+    (the KV store alone is tens of MB at flagship batch sizes).
+
+    ``kv_dtype`` (default = dtype) controls the KV/CRF store precision and
+    should match the model's compute dtype."""
+    if kv_dtype is None:
+        kv_dtype = dtype
     zero = jnp.zeros((), jnp.int32)
     kv_shape = (
-        (num_layers, batch, n_head, max_len, head_dim)
+        (num_layers, batch, max_len, n_head, head_dim)
         if cfg.level == "kv"
         else (0,)
     )
@@ -179,16 +185,16 @@ def init_cache_state(
         else (0,)
     )
     return CacheState(
-        k=jnp.zeros(kv_shape, dtype),
-        v=jnp.zeros(kv_shape, dtype),
-        crf_prev=jnp.zeros(crf_shape, dtype),
+        k=jnp.zeros(kv_shape, kv_dtype),
+        v=jnp.zeros(kv_shape, kv_dtype),
+        crf_prev=jnp.zeros(crf_shape, kv_dtype),
         delta_tok=jnp.zeros((max_len,), dtype),
         eps_hat=jnp.zeros(eps_shape, dtype),
         drift_rate=jnp.zeros((), dtype),
         err_acc=jnp.zeros((), dtype),
         last_full_step=zero,
-        crf_low=jnp.zeros(hist_shape[1:] if len(hist_shape) > 1 else (0,), dtype),
-        crf_high_hist=jnp.zeros(hist_shape, dtype),
+        crf_low=jnp.zeros(hist_shape[1:] if len(hist_shape) > 1 else (0,), kv_dtype),
+        crf_high_hist=jnp.zeros(hist_shape, kv_dtype),
         crf_t_hist=jnp.zeros(
             (cfg.max_history,) if cfg.use_freqca else (0,), dtype
         ),
@@ -313,7 +319,9 @@ def update_after_forward(
     is_cached = mode == MODE_CACHED
 
     # Per-token CRF drift (mean |Δ| over layers and features, L2 over d).
-    delta = jnp.linalg.norm(crf - state.crf_prev, axis=-1)  # (L_layers, T)
+    delta = jnp.linalg.norm(
+        (crf - state.crf_prev).astype(state.delta_tok.dtype), axis=-1
+    )  # (L_layers, T)
     delta_tok = jnp.mean(delta, axis=0)  # (T,)
 
     n_recomputed = jnp.where(

@@ -74,11 +74,21 @@ def apply_gaussian_fourier_projection(
     timesteps: Array,
     use_time_axis: bool = True,
 ) -> Array:
-    """x + Dense(concat(sin, cos)(2π·t·W))[:d_model] (reference transformer.py:77-91)."""
+    """x + Dense(concat(sin, cos)(2π·t·W))[:d_model] (reference transformer.py:77-91).
+
+    The trig arguments reach |2π·t·W| ≈ 200 (W ~ N(0,1)·30), so the phase is
+    computed in float32 regardless of the compute dtype — bf16 phases would
+    corrupt the time conditioning entirely.
+    """
     d_model = params["dense_w"].shape[0]
-    time_proj = timesteps[:, None] * constants["W"][None, :] * 2.0 * jnp.pi
+    time_proj = (
+        timesteps.astype(jnp.float32)[:, None]
+        * constants["W"].astype(jnp.float32)[None, :]
+        * 2.0
+        * jnp.pi
+    )
     emb = jnp.concatenate([jnp.sin(time_proj), jnp.cos(time_proj)], axis=-1)
-    t_emb = emb[:, :d_model]
+    t_emb = emb[:, :d_model].astype(params["dense_w"].dtype)
     projected = t_emb @ params["dense_w"] + params["dense_b"]
     if use_time_axis:
         projected = projected[:, None, :]

@@ -19,7 +19,7 @@ stores, the layer exposes three *static-shape* forward modes selected by
                 pure-cache path (reference cached_transformer.py:236-258),
                 which genuinely skips the K/V projections.
 
-The KV cache is a per-layer, per-batch array ``(B, H, T, Dh)`` carried through
+The KV cache is a per-layer, per-batch array ``(B, T, H, Dh)`` carried through
 `lax.scan` — fixing reference quirk Q3 (the torch cache stores only batch
 element 0 and broadcasts, silently wrong for batch>1).
 """
@@ -69,31 +69,41 @@ def init_encoder_layer(
 
 
 def _layer_norm(x: Array, p: Params, eps: float = 1e-5) -> Array:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    # Statistics in float32 for mixed-precision stability.
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    normed = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (normed.astype(x.dtype)) * p["scale"] + p["bias"]
 
 
 def _split_heads(x: Array, n_head: int) -> Array:
-    """(B, T, D) → (B, H, T, Dh)."""
+    """(B, T, D) → (B, T, H, Dh) — a pure reshape; the head axis is never
+    transposed into its own major dimension (layout changes on unaligned
+    (T, Dh) tiles are the expensive part of small-head attention on TPU)."""
     b, t, d = x.shape
-    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+    return x.reshape(b, t, n_head, d // n_head)
 
 
 def _merge_heads(x: Array) -> Array:
-    """(B, H, T, Dh) → (B, T, D)."""
-    b, h, t, dh = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+    """(B, T, H, Dh) → (B, T, D)."""
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
 
 
 def _attention(q: Array, k: Array, v: Array) -> Array:
-    """Scaled dot-product attention over (B, H, T, Dh) tensors."""
+    """Scaled dot-product attention over (B, T, H, Dh) tensors.
+
+    Scores accumulate and softmax runs in float32 (mixed-precision safe);
+    the value contraction stays in the compute dtype.  The einsums contract
+    directly from the token-major layout — no head transposes.
+    """
     dh = q.shape[-1]
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-        jnp.asarray(dh, dtype=q.dtype)
-    )
-    weights = jax.nn.softmax(scores, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(dh, dtype=jnp.float32))
+    weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
 def _maybe_dropout(
@@ -137,7 +147,7 @@ def encoder_layer_apply(
     Args:
         p: layer params from :func:`init_encoder_layer`.
         x: ``(B, T, D)`` hidden states.
-        kv_cache: optional ``(k, v)`` each ``(B, H, T, Dh)`` from a previous
+        kv_cache: optional ``(k, v)`` each ``(B, T, H, Dh)`` from a previous
           diffusion step.
         recompute_mask: ``(T,)`` bool — tokens whose K/V are refreshed in
           ``mixed`` mode.
@@ -160,7 +170,7 @@ def encoder_layer_apply(
         assert kv_cache is not None and recompute_mask is not None
         q = project_q(p, x, n_head)
         k_fresh, v_fresh = project_kv(p, x, n_head)
-        m = recompute_mask[None, None, :, None]
+        m = recompute_mask[None, :, None, None]  # (1, T, 1, 1)
         k = jnp.where(m, k_fresh, kv_cache[0])
         v = jnp.where(m, v_fresh, kv_cache[1])
     else:  # MODE_FULL

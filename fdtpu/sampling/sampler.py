@@ -86,6 +86,11 @@ def sample_chain(
         )
     else:
         pp = None
+    # Mixed precision: cast the variables ONCE here, outside the compiled
+    # scan — otherwise the fp32→bf16 parameter conversion is traced into
+    # every diffusion step.
+    if model_cfg._cdtype != jnp.float32:
+        variables = jax.tree.map(lambda a: a.astype(model_cfg._cdtype), variables)
     return _sample_chain(
         variables,
         scheduler,
@@ -284,6 +289,7 @@ class DiffusionSampler:
             head_dim=cfg.head_dim,
             d_model=cfg.d_model,
             n_channels=cfg.n_channels,
+            kv_dtype=cfg._cdtype,
         )
 
     def sample_prior(self, key: Array, batch_size: int) -> Array:

@@ -86,8 +86,8 @@ def test_cached_full_mode_matches_uncached():
     t = jnp.full((2,), 0.3)
 
     kv = (
-        jnp.zeros((cfg.num_layers, 2, cfg.n_head, MAX_LEN, cfg.head_dim)),
-        jnp.zeros((cfg.num_layers, 2, cfg.n_head, MAX_LEN, cfg.head_dim)),
+        jnp.zeros((cfg.num_layers, 2, MAX_LEN, cfg.n_head, cfg.head_dim)),
+        jnp.zeros((cfg.num_layers, 2, MAX_LEN, cfg.n_head, cfg.head_dim)),
     )
     mask = jnp.ones((MAX_LEN,), dtype=bool)
     score_cached, kv_new, crf = score_apply_cached(
@@ -108,8 +108,8 @@ def test_cached_pure_cache_mode_reuses_kv():
     t = jnp.full((2,), 0.3)
 
     kv0 = (
-        jnp.zeros((cfg.num_layers, 2, cfg.n_head, MAX_LEN, cfg.head_dim)),
-        jnp.zeros((cfg.num_layers, 2, cfg.n_head, MAX_LEN, cfg.head_dim)),
+        jnp.zeros((cfg.num_layers, 2, MAX_LEN, cfg.n_head, cfg.head_dim)),
+        jnp.zeros((cfg.num_layers, 2, MAX_LEN, cfg.n_head, cfg.head_dim)),
     )
     mask = jnp.ones((MAX_LEN,), dtype=bool)
     score_full, kv_full, _ = score_apply_cached(variables, cfg, x, t, kv0, mask, MODE_FULL)
@@ -128,8 +128,8 @@ def test_cached_mode_switch_traced():
     x = jax.random.normal(jax.random.PRNGKey(1), (1, MAX_LEN, CHANNELS))
     t = jnp.full((1,), 0.3)
     kv = (
-        jnp.zeros((cfg.num_layers, 1, cfg.n_head, MAX_LEN, cfg.head_dim)),
-        jnp.zeros((cfg.num_layers, 1, cfg.n_head, MAX_LEN, cfg.head_dim)),
+        jnp.zeros((cfg.num_layers, 1, MAX_LEN, cfg.n_head, cfg.head_dim)),
+        jnp.zeros((cfg.num_layers, 1, MAX_LEN, cfg.n_head, cfg.head_dim)),
     )
     mask = jnp.ones((MAX_LEN,), dtype=bool)
 
