@@ -52,6 +52,7 @@ class TrainingRunner:
         trainer_cfg.pop("sampling_callback", None)
         self.trainer = Trainer(
             run_dir=cfg.get("run_dir", "lightning_logs"),
+            run_id=cfg.get("run_id"),
             seed=int(cfg.get("random_seed", 42)),
             **{
                 k: v
@@ -104,6 +105,11 @@ class TrainingRunner:
 def main() -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
     cfg = compose_config(CONFIG_DIR, "train", sys.argv[1:])
+    from fdtpu.utils.wandb import maybe_initialize_wandb
+
+    run_id = maybe_initialize_wandb(cfg)
+    if run_id:
+        cfg["run_id"] = run_id
     runner = TrainingRunner(cfg)
     runner.train()
 

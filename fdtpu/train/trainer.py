@@ -196,3 +196,6 @@ class Trainer:
     def _log(self, record: dict[str, Any]) -> None:
         with open(self.metrics_path, "a") as f:
             f.write(json.dumps(record) + "\n")
+        from fdtpu.utils.wandb import maybe_log_wandb
+
+        maybe_log_wandb(record)

@@ -1,0 +1,51 @@
+"""Optional Weights & Biases bootstrap (reference `/root/reference/src/fdiff/utils/wandb.py`).
+
+``maybe_initialize_wandb`` starts a run iff wandb is installed and enabled in
+the config; returns the run id used as the experiment directory name
+(reference wandb.py:8-33, honoring WANDB_ENTITY / WANDB_MODE env vars).
+Everything degrades gracefully without the package — runs then get a
+timestamp id and metrics go to the run dir's JSONL log only.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Optional
+
+from fdtpu.utils.config import flatten_config
+
+
+def maybe_initialize_wandb(cfg: dict[str, Any]) -> Optional[str]:
+    """Returns the run id (wandb id when active, timestamp otherwise)."""
+    use_wandb = bool(cfg.get("use_wandb", False))
+    if not use_wandb:
+        return None
+    try:
+        import wandb
+    except ImportError:
+        logging.warning("use_wandb=true but wandb is not installed; continuing without it.")
+        return None
+    run = wandb.init(
+        project=cfg.get("wandb_project", "FourierDiffusion"),
+        entity=os.environ.get("WANDB_ENTITY"),
+        mode=os.environ.get("WANDB_MODE", "online"),
+        config=flatten_config(cfg),
+    )
+    return run.id
+
+
+def maybe_log_wandb(record: dict[str, Any]) -> None:
+    """Forward a metrics record to an active wandb run, if any."""
+    try:
+        import wandb
+
+        if wandb.run is not None:
+            wandb.log(record)
+    except ImportError:
+        pass
+
+
+def run_id_or_timestamp(run_id: Optional[str]) -> str:
+    return run_id if run_id else time.strftime("%Y%m%d_%H%M%S")
