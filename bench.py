@@ -86,7 +86,7 @@ def main() -> None:
         model,
         sample_batch_size=batch,
         use_cache=True,
-        cache_kwargs={"level": "score", "R": 10, "tau_0": 0.05},
+        cache_kwargs={"level": "score", "R": 20, "tau_0": 0.1},
     )
     t_ca, sps_ca = measure(cached, num_samples, steps, jax.random.PRNGKey(1))
     stats = cached.get_cache_stats()
@@ -107,7 +107,7 @@ def main() -> None:
             {
                 "metric": "e2crf_sampling_speedup",
                 "value": round(speedup, 3),
-                "unit": f"x vs uncached compiled sampler (T={steps}, batch={batch}, 3.2M params, 1 chip)",
+                "unit": f"x vs uncached compiled sampler (T={steps}, batch={batch}, 3.2M params, 1 chip; R=20 tau=0.1, quality-validated)",
                 "vs_baseline": round(speedup / REFERENCE_AVG_SPEEDUP, 3),
             }
         )
@@ -152,7 +152,7 @@ def quality_delta(steps: int = 200) -> float:
     uncached = DiffusionSampler(model, sample_batch_size=256)
     cached = DiffusionSampler(
         model, sample_batch_size=256, use_cache=True,
-        cache_kwargs={"level": "score", "R": 10, "tau_0": 0.05},
+        cache_kwargs={"level": "score", "R": 20, "tau_0": 0.1},
     )
     s_un = uncached.sample(256, steps, key=jax.random.PRNGKey(7))
     s_ca = cached.sample(256, steps, key=jax.random.PRNGKey(7))
