@@ -51,14 +51,13 @@ def mimic_imputer(df: pd.DataFrame) -> pd.DataFrame:
         df.columns = df.columns.droplevel(("label", "LEVEL1", "LEVEL2"))
 
     df_out = df.loc[:, idx[:, ["mean", "count"]]]
-    icustay_means = df_out.loc[:, idx[:, "mean"]].groupby(id_cols).mean()
+    means = df_out.loc[:, idx[:, "mean"]]
+    # ffill per stay → per-stay mean → 0 (reference preprocessing.py:39-46;
+    # GroupBy.fillna was removed in pandas 2, so the stay-mean fill uses
+    # transform("mean") instead).
+    stay_means = means.groupby(id_cols).transform("mean")
     df_out.loc[:, idx[:, "mean"]] = (
-        df_out.loc[:, idx[:, "mean"]]
-        .groupby(id_cols)
-        .ffill()
-        .groupby(id_cols)
-        .fillna(icustay_means)
-        .fillna(0)
+        means.groupby(id_cols).ffill().fillna(stay_means).fillna(0)
     )
 
     df_out.loc[:, idx[:, "count"]] = (df.loc[:, idx[:, "count"]] > 0).astype(float)

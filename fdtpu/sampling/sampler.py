@@ -119,6 +119,11 @@ def sample_chain(
         "fresca_cutoff_ratio",
         "fresca_cutoff_strategy",
     ),
+    # Donate the prior sample (dead after the call) so XLA can alias the
+    # scan carry in place.  The cache state is NOT donated: its freshly
+    # initialized zero leaves can alias one buffer, and donating aliased
+    # buffers is rejected.
+    donate_argnums=(2,),
 )
 def _sample_chain(
     variables: dict[str, Any],
