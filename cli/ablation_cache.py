@@ -66,10 +66,14 @@ def main() -> None:
     for name, kw in ABLATIONS:
         sampler = DiffusionSampler(model, sample_batch_size=batch, **kw)
         sampler.sample(min(batch, num_samples), steps, key=jax.random.PRNGKey(0))
-        sampler.last_cache_state = None
-        t0 = time.time()
-        samples = sampler.sample(num_samples, steps, key=jax.random.PRNGKey(42))
-        elapsed = time.time() - t0
+        times = []
+        for _ in range(3):  # median: tunnel timings vary up to 2x per run
+            sampler.last_cache_state = None
+            t0 = time.time()
+            samples = sampler.sample(num_samples, steps, key=jax.random.PRNGKey(42))
+            times.append(time.time() - t0)
+        import numpy as _np
+        elapsed = float(_np.median(times))
         entry = {
             "time_s": round(elapsed, 4),
             "samples_per_s": round(samples.shape[0] / elapsed, 2),

@@ -66,6 +66,12 @@ class E2CRFConfig:
     tau_warn: float = 0.5
     policy: str = "event"  # "event" | "macro"
     level: str = "kv"  # "kv" | "score"
+    # Score-level skip predictor order: 0 = freeze the last ε̂ (pure reuse),
+    # 1 = linear extrapolation from the last two full computations — the
+    # FreqCa trajectory-prediction idea applied at the noise-prediction
+    # level, which cuts the per-step drift and allows deeper skipping at the
+    # same error budget.
+    eps_order: int = 1
     random_probe_ratio: float = 0.0
     # Ablation switch: weight per-token CRF drift by spectral energy
     # (paper's energy weighting; reference ablation "no_energy_weighting").
@@ -100,6 +106,7 @@ class E2CRFConfig:
         return (
             self.policy,
             self.level,
+            self.eps_order,
             self.use_freqca,
             self.freq_decomp,
             self.low_freq_ratio,
@@ -133,6 +140,8 @@ class CacheState(struct.PyTreeNode):
     delta_tok: Array  # (T,)
     # Score-level cache: last fully-computed noise prediction and drift rate.
     eps_hat: Array  # (B, T, C)
+    eps_prev: Array  # (B, T, C) — the full computation before eps_hat
+    eps_gap: Array  # () steps between eps_prev and eps_hat (extrapolation dt)
     drift_rate: Array  # () per-step relative ε̂ drift measured at last refresh
     err_acc: Array  # () accumulated predicted drift since last refresh
     last_full_step: Array  # () int32
@@ -190,6 +199,8 @@ def init_cache_state(
         crf_prev=jnp.zeros(crf_shape, kv_dtype),
         delta_tok=jnp.zeros((max_len,), dtype),
         eps_hat=jnp.zeros(eps_shape, dtype),
+        eps_prev=jnp.zeros(eps_shape, dtype),
+        eps_gap=jnp.zeros((), dtype),
         drift_rate=jnp.zeros((), dtype),
         err_acc=jnp.zeros((), dtype),
         last_full_step=zero,

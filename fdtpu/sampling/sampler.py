@@ -54,6 +54,35 @@ from fdtpu.ops.fresca import apply_fresca_to_score
 Array = jax.Array
 
 
+def _shard_cache_state(mesh, state: CacheState) -> CacheState:
+    """Place the cache on the mesh: KV stores sharded over their batch axis
+    (axis 1 of (L, B, T, H, Dh)), ε̂ over axis 0, everything else replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    rep = P()
+    kv_spec = P(None, "data", None, None, None) if state.k.ndim > 1 else rep
+    eps_spec = P("data", None, None) if state.eps_hat.ndim > 1 else rep
+    replicated = {
+        f: put(getattr(state, f), rep)
+        for f in (
+            "crf_prev", "delta_tok", "eps_gap", "drift_rate", "err_acc", "last_full_step",
+            "crf_low", "crf_high_hist", "crf_t_hist", "hist_len", "step",
+            "recompute_count", "cache_hit_count", "full_steps", "mixed_steps",
+            "cached_steps",
+        )
+    }
+    return state.replace(
+        k=put(state.k, kv_spec),
+        v=put(state.v, kv_spec),
+        eps_hat=put(state.eps_hat, eps_spec),
+        eps_prev=put(state.eps_prev, eps_spec),
+        **replicated,
+    )
+
+
 def sample_chain(
     variables: dict[str, Any],
     scheduler: SDE,
@@ -182,14 +211,28 @@ def _sample_chain(
         t_batch = jnp.full((batch,), t, x.dtype)
         _, std = scheduler.marginal_prob(x, t_batch)
 
+        extrapolate = cache_cfg.eps_order >= 1
+
         def full_fn(c: CacheState):
             score = score_apply(variables, model_cfg, x, t_batch)
             eps_new = -std[..., None] * score
             denom = jnp.linalg.norm(eps_new) + 1e-8
-            rel = jnp.linalg.norm(eps_new - c.eps_hat) / denom
             steps_since = jnp.maximum(c.step - c.last_full_step, 1).astype(x.dtype)
+            # Drift rate measured against what the skip branch WOULD have
+            # predicted for this step — with extrapolation on, the budget
+            # tracks the extrapolation residual, not the raw ε̂ change.
+            if extrapolate:
+                slope = jnp.where(
+                    c.eps_gap > 0, (c.eps_hat - c.eps_prev) / jnp.maximum(c.eps_gap, 1), 0.0
+                )
+                eps_pred = c.eps_hat + slope * steps_since
+            else:
+                eps_pred = c.eps_hat
+            rel = jnp.linalg.norm(eps_new - eps_pred) / denom
             drift_rate = jnp.where(c.step == 0, jnp.zeros((), x.dtype), rel / steps_since)
             c = c.replace(
+                eps_prev=jnp.where(c.step == 0, eps_new, c.eps_hat),
+                eps_gap=jnp.where(c.step == 0, jnp.zeros((), x.dtype), steps_since),
                 eps_hat=eps_new,
                 drift_rate=drift_rate,
                 err_acc=jnp.zeros((), x.dtype),
@@ -200,9 +243,18 @@ def _sample_chain(
             return score, c
 
         def skip_fn(c: CacheState):
-            # Reconstruct the score from the cached noise prediction:
-            # score(t) = −ε̂ / std(t).  The whole network is skipped.
-            score = -c.eps_hat / std[..., None]
+            # Reconstruct the score from the cached noise prediction —
+            # optionally linearly extrapolated along the trajectory (the
+            # FreqCa prediction idea at the ε level).  The network is skipped.
+            if extrapolate:
+                steps_ahead = (c.step - c.last_full_step + 1).astype(x.dtype)
+                slope = jnp.where(
+                    c.eps_gap > 0, (c.eps_hat - c.eps_prev) / jnp.maximum(c.eps_gap, 1), 0.0
+                )
+                eps = c.eps_hat + slope * steps_ahead
+            else:
+                eps = c.eps_hat
+            score = -eps / std[..., None]
             c = c.replace(
                 err_acc=c.err_acc + c.drift_rate,
                 cached_steps=c.cached_steps + 1,
@@ -262,12 +314,19 @@ class DiffusionSampler:
         fresca_high_scale: float = 1.5,
         fresca_cutoff_ratio: float = 0.5,
         fresca_cutoff_strategy: str = "energy",
+        mesh: Optional[Any] = None,
     ) -> None:
+        """``mesh``: optional `jax.sharding.Mesh` — the sample batch (and the
+        per-batch cache state) are sharded over its ``data`` axis, so one
+        compiled chain runs data-parallel across all chips (sampling is
+        embarrassingly parallel over the batch; a capability the reference
+        lacks entirely, SURVEY.md §2.3)."""
         self.score_model = score_model
         self.noise_scheduler = score_model.scheduler
         self.sample_batch_size = sample_batch_size
         self.n_channels = score_model.n_channels
         self.max_len = score_model.max_len
+        self.mesh = mesh
 
         self.use_cache = use_cache
         self.cache_config = (
@@ -320,6 +379,10 @@ class DiffusionSampler:
         all_samples = []
         cache_state: Optional[CacheState] = None
 
+        def cache_batch(state: CacheState) -> int:
+            # Batch size of whichever per-batch store this level allocates.
+            return state.k.shape[1] if state.k.ndim > 1 else state.eps_hat.shape[0]
+
         for batch_idx in range(num_batches):
             batch_size = min(
                 num_samples - batch_idx * self.sample_batch_size,
@@ -331,9 +394,16 @@ class DiffusionSampler:
             if self.use_cache and (
                 cache_state is None
                 or (self.cache_config.reset_between_batches)
-                or cache_state.k.shape[1] != batch_size
+                or cache_batch(cache_state) != batch_size
             ):
                 cache_state = self._init_cache(batch_size)
+
+            if self.mesh is not None:
+                from fdtpu.dist.mesh import shard_batch
+
+                x0 = shard_batch(self.mesh, x0)
+                if cache_state is not None:
+                    cache_state = _shard_cache_state(self.mesh, cache_state)
 
             x, cache_state = sample_chain(
                 self.score_model.variables,

@@ -117,3 +117,26 @@ def test_cached_sampling_quality_matches_uncached(trained):
     delta = m(s_ca)["marginal_wasserstein_mean"]
     m_self = m(s_un[:64])["marginal_wasserstein_mean"]  # sampling-noise scale
     assert delta < max(2 * m_self, 0.1), (delta, m_self, stats)
+
+
+def test_eps_extrapolation_improves_fidelity(trained):
+    """First-order ε̂ extrapolation (eps_order=1) must track the uncached
+    trajectory at least as well as frozen reuse (eps_order=0) at the same
+    budget."""
+    model, _, _ = trained
+    uncached = DiffusionSampler(model, sample_batch_size=128)
+    s_un = uncached.sample(128, 100, key=jax.random.PRNGKey(11))
+
+    def deviation(order):
+        cached = DiffusionSampler(
+            model, sample_batch_size=128, use_cache=True,
+            cache_kwargs={"level": "score", "R": 20, "tau_0": 0.3, "eps_order": order},
+        )
+        s_ca = cached.sample(128, 100, key=jax.random.PRNGKey(11))
+        skipped = cached.get_cache_stats()["steps_skipped_ratio"]
+        return np.linalg.norm(s_un - s_ca) / np.linalg.norm(s_un), skipped
+
+    dev0, skip0 = deviation(0)
+    dev1, skip1 = deviation(1)
+    assert skip0 > 0.2 and skip1 > 0.2, (skip0, skip1)
+    assert dev1 <= dev0 * 1.05, (dev0, dev1, skip0, skip1)
