@@ -145,6 +145,10 @@ class CacheState(struct.PyTreeNode):
     drift_rate: Array  # () per-step relative ε̂ drift measured at last refresh
     err_acc: Array  # () accumulated predicted drift since last refresh
     last_full_step: Array  # () int32
+    # Cold start: no valid ε̂ yet (fresh cache or a new trajectory after a
+    # batch boundary) — the next step must run the network and must not
+    # measure drift against stale cross-trajectory state.
+    cold: Array  # () bool
     # FreqCa state: ring buffer of high-frequency CRF history + timesteps.
     crf_low: Array  # (num_layers, T, d_model)
     crf_high_hist: Array  # (max_history, num_layers, T, d_model)
@@ -204,6 +208,7 @@ def init_cache_state(
         drift_rate=jnp.zeros((), dtype),
         err_acc=jnp.zeros((), dtype),
         last_full_step=zero,
+        cold=jnp.ones((), bool),
         crf_low=jnp.zeros(hist_shape[1:] if len(hist_shape) > 1 else (0,), kv_dtype),
         crf_high_hist=jnp.zeros(hist_shape, kv_dtype),
         crf_t_hist=jnp.zeros(
@@ -299,13 +304,12 @@ def score_skip_decision(pp: PolicyParams, state: CacheState) -> Array:
     under τ₀ and the hard interval R has not expired.
     """
     step = state.step
-    is_first = step == 0
     # Calibration: right after a cold start the drift rate is unknown (0) —
     # run one extra full step to measure it before trusting the skip budget.
     is_calibration = ((step - state.last_full_step) == 1) & (state.drift_rate == 0)
     interval_expired = (step - state.last_full_step) >= pp.R
     budget_exceeded = state.err_acc >= pp.tau_0
-    return is_first | is_calibration | interval_expired | budget_exceeded
+    return state.cold | is_calibration | interval_expired | budget_exceeded
 
 
 # ----------------------------------------------------------------- updates

@@ -68,7 +68,7 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
     replicated = {
         f: put(getattr(state, f), rep)
         for f in (
-            "crf_prev", "delta_tok", "eps_gap", "drift_rate", "err_acc", "last_full_step",
+            "crf_prev", "delta_tok", "eps_gap", "drift_rate", "err_acc", "last_full_step", "cold",
             "crf_low", "crf_high_hist", "crf_t_hist", "hist_len", "step",
             "recompute_count", "cache_hit_count", "full_steps", "mixed_steps",
             "cached_steps",
@@ -217,6 +217,7 @@ def _sample_chain(
             score = score_apply(variables, model_cfg, x, t_batch)
             eps_new = -std[..., None] * score
             denom = jnp.linalg.norm(eps_new) + 1e-8
+            is_cold = c.cold
             steps_since = jnp.maximum(c.step - c.last_full_step, 1).astype(x.dtype)
             # Drift rate measured against what the skip branch WOULD have
             # predicted for this step — with extrapolation on, the budget
@@ -229,10 +230,11 @@ def _sample_chain(
             else:
                 eps_pred = c.eps_hat
             rel = jnp.linalg.norm(eps_new - eps_pred) / denom
-            drift_rate = jnp.where(c.step == 0, jnp.zeros((), x.dtype), rel / steps_since)
+            drift_rate = jnp.where(is_cold, jnp.zeros((), x.dtype), rel / steps_since)
             c = c.replace(
-                eps_prev=jnp.where(c.step == 0, eps_new, c.eps_hat),
-                eps_gap=jnp.where(c.step == 0, jnp.zeros((), x.dtype), steps_since),
+                cold=jnp.zeros((), bool),
+                eps_prev=jnp.where(is_cold, eps_new, c.eps_hat),
+                eps_gap=jnp.where(is_cold, jnp.zeros((), x.dtype), steps_since),
                 eps_hat=eps_new,
                 drift_rate=drift_rate,
                 err_acc=jnp.zeros((), x.dtype),
@@ -397,6 +399,15 @@ class DiffusionSampler:
                 or cache_batch(cache_state) != batch_size
             ):
                 cache_state = self._init_cache(batch_size)
+            elif self.use_cache and batch_idx > 0:
+                # Cache persists across batches (reference quirk Q5), but a
+                # new trajectory must not reuse the previous trajectory's
+                # cached prediction: mark the cache cold so the first steps
+                # of this batch recompute and re-calibrate the drift rate.
+                cache_state = cache_state.replace(
+                    cold=jnp.ones((), bool),
+                    drift_rate=jnp.zeros((), cache_state.drift_rate.dtype),
+                )
 
             if self.mesh is not None:
                 from fdtpu.dist.mesh import shard_batch

@@ -158,3 +158,19 @@ def test_fresca_sampling_runs():
     assert np.isfinite(samples).all()
     base = DiffusionSampler(model, sample_batch_size=4).sample(4, 6, key=jax.random.PRNGKey(9))
     assert np.abs(samples - base).max() > 1e-6  # FreSca actually changed the scores
+
+
+def test_cross_batch_cache_recomputes_at_new_trajectory():
+    """Cache persists across batches (reference quirk Q5) but each new
+    trajectory must start with a full recompute, never the previous
+    trajectory's cached prediction."""
+    model = make_model()
+    sampler = DiffusionSampler(
+        model, sample_batch_size=4, use_cache=True,
+        cache_kwargs={"level": "score", "R": 1000, "tau_0": 1e9},
+    )
+    sampler.sample(12, 6, key=jax.random.PRNGKey(12))  # 3 batches of 4
+    stats = sampler.get_cache_stats()
+    # Per batch: step-0-equivalent full + calibration full = 2; rest skipped.
+    assert stats["full_steps"] == 6, stats
+    assert stats["cached_steps"] == 12, stats
