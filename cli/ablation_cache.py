@@ -39,7 +39,8 @@ CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
 
 ABLATIONS: list[tuple[str, dict]] = [
     ("baseline", {}),
-    ("full_e2crf", dict(use_cache=True, cache_kwargs={"level": "score", "policy": "event", "R": 10, "tau_0": 0.05})),
+    ("full_e2crf", dict(use_cache=True, cache_kwargs={"level": "score", "policy": "event", "R": 100, "tau_0": 1.0, "eps_order": 1})),
+    ("no_extrapolation", dict(use_cache=True, cache_kwargs={"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 0})),
     ("no_event_trigger", dict(use_cache=True, cache_kwargs={"level": "score", "R": 10, "tau_0": 1e9})),
     ("no_error_feedback", dict(use_cache=True, cache_kwargs={"level": "score", "R": 999999, "tau_0": 1e9})),
     ("no_energy_weighting", dict(use_cache=True, cache_kwargs={"level": "kv", "policy": "event", "R": 10, "energy_weighting": False})),

@@ -1,0 +1,88 @@
+"""CLI smoke tests: train → sample → results, through subprocesses on CPU
+(functional analog of reference tests/test_hydra_configs.py plus the CLI
+flows the reference never tests)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_cli(script: str, *overrides: str, timeout: int = 420) -> str:
+    env = {
+        "FDTPU_PLATFORM": "cpu",
+        "PATH": "/usr/bin:/bin:/usr/local/bin",
+        "HOME": "/tmp",
+        "PYTHONPATH": str(REPO),
+    }
+    import os
+
+    env.update({k: v for k, v in os.environ.items() if k not in env})
+    env["FDTPU_PLATFORM"] = "cpu"
+    result = subprocess.run(
+        [sys.executable, str(REPO / "cli" / script), *overrides],
+        capture_output=True, text=True, timeout=timeout, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    return result.stdout + result.stderr
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("data")
+    run_dir = tmp_path_factory.mktemp("runs")
+    run_cli(
+        "train.py",
+        "datamodule=synthetic",
+        f"datamodule.data_dir={data_dir}",
+        "datamodule.max_len=20",
+        "datamodule.num_samples=128",
+        "trainer.max_epochs=2",
+        "score_model.d_model=8",
+        "score_model.num_layers=1",
+        "score_model.n_head=2",
+        "score_model.dim_feedforward=16",
+        f"run_dir={run_dir}",
+    )
+    runs = [p for p in run_dir.glob("*") if (p / "train_config.yaml").exists()]
+    assert len(runs) == 1
+    return runs[0]
+
+
+def test_train_cli_artifacts(trained_run):
+    assert (trained_run / "train_config.yaml").exists()
+    assert (trained_run / "metrics.jsonl").exists()
+    ckpts = list((trained_run / "checkpoints").glob("*.ckpt"))
+    assert ckpts, "no checkpoints saved"
+    with open(ckpts[0] / "meta.json") as f:
+        meta = json.load(f)
+    assert meta["model_config"]["d_model"] == 8
+
+
+def test_sample_cli_artifacts(trained_run):
+    run_cli(
+        "sample.py",
+        f"model_path={trained_run.parent}",
+        "model_id=latest",
+        "num_samples=8",
+        "num_diffusion_steps=4",
+        "sampler.sample_batch_size=8",
+        "metrics.metrics.0.num_directions=10",
+        "use_cache=true",
+        "+cache_kwargs.level=score",
+        "+cache_kwargs.R=2",
+    )
+    samples = np.load(trained_run / "samples.npy")
+    assert samples.shape == (8, 20, 1)
+    with open(trained_run / "results.yaml") as f:
+        results = yaml.safe_load(f)
+    assert "time_sliced_wasserstein_mean" in results
+    with open(trained_run / "cache_stats.yaml") as f:
+        stats = yaml.safe_load(f)
+    assert stats["current_step"] == 4
