@@ -24,6 +24,8 @@ import time
 from pathlib import Path
 from typing import Any, Callable, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -101,7 +103,9 @@ class Trainer:
                 train=train, rngs=rngs,
             )
 
-        @jax.jit
+        # Donate the train state: params/optimizer buffers (3x model size)
+        # update in place instead of being copied every step.
+        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch: Array, step_key: Array):
             def loss_fn(params):
                 return sde_loss(
