@@ -97,9 +97,12 @@ def build_model(max_len: int, trained: bool, epochs: int):
     )
     t0 = time.time()
     model = trainer.fit(model, dm)
+    train_time = time.time() - t0
+    seen = epochs * 2000  # samples seen (synthetic train split size)
     print(
         f"# trained flagship on synthetic-freq data: {epochs} epochs in "
-        f"{time.time() - t0:.0f}s, best val/loss {trainer.best_val_loss:.5f}",
+        f"{train_time:.0f}s ({seen / train_time:.0f} training samples/s/chip), "
+        f"best val/loss {trainer.best_val_loss:.5f}",
         file=sys.stderr,
     )
     return model

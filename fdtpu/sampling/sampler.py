@@ -48,7 +48,7 @@ from fdtpu.models.score_models import (
     score_apply,
     score_apply_cached,
 )
-from fdtpu.models.transformer import MODE_FULL
+
 from fdtpu.ops.fresca import apply_fresca_to_score
 
 Array = jax.Array
