@@ -74,6 +74,24 @@ class TrainingRunner:
                 "fourier_noise_scaling=true requires fourier_transform=true"
             )
 
+        # Optional timed method comparison (reference
+        # DiffusionMethodComparisonCallback, trainer=diffusion_comparison).
+        dc = cfg["trainer"].get("diffusion_comparison") or {}
+        if dc.get("enabled"):
+            from fdtpu.train.callbacks import DiffusionMethodComparisonCallback
+
+            self.trainer.callbacks.append(
+                DiffusionMethodComparisonCallback(
+                    model_template=self.model,
+                    methods=dc.get("methods", []),
+                    every_n_epochs=int(dc.get("every_n_epochs", 1)),
+                    num_samples=int(dc.get("num_samples", 5)),
+                    warmup_steps=int(dc.get("warmup_steps", 2)),
+                    sample_batch_size=int(dc.get("num_samples", 5)),
+                    random_seed=int(cfg.get("random_seed", 42)),
+                )
+            )
+
         # Optional per-epoch sampling evaluation (reference SamplingCallback).
         sc = cfg["trainer"].get("sampling_callback") or {}
         if sc.get("enabled"):
