@@ -73,7 +73,9 @@ def build_model(max_len: int, trained: bool, epochs: int):
     from fdtpu.models.score_models import ScoreModel
     from fdtpu.train import Trainer, get_training_params
 
-    cfg = ScoreModelConfig(n_channels=1, max_len=max_len)
+    cfg = ScoreModelConfig(
+        n_channels=1, max_len=max_len, attention_impl="blockdiag"
+    )
     scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(max_len)
     model = ScoreModel(
         config=cfg,

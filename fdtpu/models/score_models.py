@@ -97,6 +97,10 @@ class ScoreModelConfig:
     backbone: str = "transformer"  # "transformer" | "mlp" | "lstm"
     d_mlp: int = 1024
     gfp_scale: float = 30.0
+    # Attention implementation for the uncached forward: "einsum" (XLA) or
+    # "blockdiag" (Pallas fused kernel packing all heads into two large MXU
+    # matmuls — faster for tiny heads on TPU; cached paths always use einsum).
+    attention_impl: str = "einsum"
     # Mixed precision: run the backbone in this dtype (params stay float32;
     # the score output is always float32).  "bfloat16" roughly halves the
     # forward latency on TPU at this model scale.
@@ -198,6 +202,7 @@ def _transformer_backbone(
     kv_cache: Optional[tuple[Array, Array]] = None,
     recompute_mask: Optional[Array] = None,
     mode: int = MODE_FULL,
+    attention_impl: str = "einsum",
 ) -> tuple[Array, tuple[Array, Array], Array]:
     """Scan the encoder layers.  Returns (h, (k, v) stacked (L,B,T,H,Dh), crf).
 
@@ -234,6 +239,7 @@ def _transformer_backbone(
             kv_cache=(k_in, v_in),
             recompute_mask=recompute_mask,
             mode=mode,
+            attention_impl=attention_impl,
         )
         return hidden, (k_out, v_out, hidden[0])
 
@@ -359,8 +365,12 @@ def score_apply(
     if cfg.backbone == "lstm":
         h = _lstm_backbone(params, cfg, h)
     else:
+        # The Pallas block-diagonal kernel has no VJP — training always uses
+        # the differentiable einsum attention.
+        impl = cfg.attention_impl if not train else "einsum"
         h, _, _ = _transformer_backbone(
-            params, cfg, h, train=train, dropout_key=dropout_key
+            params, cfg, h, train=train, dropout_key=dropout_key,
+            attention_impl=impl,
         )
 
     return (h @ params["unembedder"]["w"] + params["unembedder"]["b"]).astype(out_dtype)

@@ -141,6 +141,7 @@ def encoder_layer_apply(
     kv_cache: Optional[tuple[Array, Array]] = None,
     recompute_mask: Optional[Array] = None,
     mode: int = MODE_FULL,
+    attention_impl: str = "einsum",
 ) -> tuple[Array, tuple[Array, Array]]:
     """One post-norm encoder layer.
 
@@ -174,6 +175,41 @@ def encoder_layer_apply(
         k = jnp.where(m, k_fresh, kv_cache[0])
         v = jnp.where(m, v_fresh, kv_cache[1])
     else:  # MODE_FULL
+        if attention_impl == "blockdiag":
+            # Block-diagonal fused kernel: project straight into its layouts
+            # (head-major K^T / V) so the relayout fuses into the matmuls.
+            from fdtpu.kernels.blockdiag_attention import blockdiag_mha
+
+            d = x.shape[-1]
+            dh = d // n_head
+            w = p["attn"]["in_proj_w"]
+            bias = p["attn"]["in_proj_b"]
+            q2 = x @ w[:, :d] + bias[:d]  # (B, T, D)
+            wk = w[:, d:2 * d].reshape(d, n_head, dh)
+            wv = w[:, 2 * d:].reshape(d, n_head, dh)
+            k2 = jnp.einsum("btd,dhe->bhet", x, wk) + bias[d:2 * d].reshape(
+                n_head, dh
+            )[None, :, :, None]
+            v2 = jnp.einsum("btd,dhe->bhte", x, wv) + bias[2 * d:].reshape(
+                n_head, dh
+            )[None, :, None, :]
+            bt_tile = 2 if x.shape[0] % 2 == 0 else 1
+            attn_out = blockdiag_mha(q2, k2, v2, batch_tile=bt_tile)
+            attn_out = attn_out @ p["attn"]["out_w"] + p["attn"]["out_b"]
+            x = _layer_norm(
+                x + _maybe_dropout(attn_out, dropout, train, dk[0]), p["ln1"], ln_eps
+            )
+            ff = jax.nn.relu(x @ p["linear1"]["w"] + p["linear1"]["b"])
+            ff = _maybe_dropout(ff, dropout, train, dk[1])
+            ff = ff @ p["linear2"]["w"] + p["linear2"]["b"]
+            x = _layer_norm(
+                x + _maybe_dropout(ff, dropout, train, dk[2]), p["ln2"], ln_eps
+            )
+            # Standard-layout K/V for the carried cache type; dead-code
+            # eliminated when the caller discards them (uncached forward).
+            k_std = k2.transpose(0, 3, 1, 2)
+            v_std = v2.transpose(0, 2, 1, 3)
+            return x, (k_std, v_std)
         q = project_q(p, x, n_head)
         k, v = project_kv(p, x, n_head)
 

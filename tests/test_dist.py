@@ -93,3 +93,16 @@ def test_graft_entry_contract():
     assert out.shape == args[0].shape
 
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 6, 8])
+def test_dryrun_multichip_device_counts(n):
+    """The driver may probe various device counts; all must compile+run."""
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[1] / "__graft_entry__.py"
+    spec = importlib.util.spec_from_file_location("graft_entry_n", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(n)

@@ -55,3 +55,49 @@ def test_model_attention_matches_head_transposed_formulation():
     ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(scores, -1), vh)
     ref = ref.transpose(0, 2, 1, 3)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_blockdiag_kernel_matches_reference_interpret():
+    from fdtpu.kernels.blockdiag_attention import (
+        blockdiag_mha,
+        blockdiag_mha_reference,
+    )
+
+    B, T, H, Dh = 4, 20, 3, 6
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H * Dh))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, Dh, T))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, Dh))
+    out = blockdiag_mha(q, k, v, batch_tile=2, interpret=True)
+    ref = blockdiag_mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_blockdiag_model_forward_matches_einsum():
+    import dataclasses
+
+    from fdtpu.models import ScoreModelConfig, init_score_model, score_apply
+
+    # Route the model's kernel call through Pallas interpreter mode so the
+    # comparison runs on the CPU test backend.
+    from fdtpu.kernels import blockdiag_attention as bda
+
+    orig = bda.blockdiag_mha
+
+    def interp(q, k, v, batch_tile=1, interpret=False):
+        return orig(q, k, v, batch_tile=batch_tile, interpret=True)
+
+    bda.blockdiag_mha = interp
+    try:
+        cfg = ScoreModelConfig(
+            n_channels=2, max_len=16, d_model=12, num_layers=2, n_head=2,
+            dim_feedforward=24,
+        )
+        cfg_bd = dataclasses.replace(cfg, attention_impl="blockdiag")
+        variables = init_score_model(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 2))
+        t = jnp.full((4,), 0.5)
+        s1 = score_apply(variables, cfg, x, t)
+        s2 = score_apply(variables, cfg_bd, x, t)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
+    finally:
+        bda.blockdiag_mha = orig
