@@ -97,6 +97,24 @@ def blockdiag_mha(
     b, t, d = q.shape
     h, dh = k.shape[1], k.shape[2]
     t_pad = _round_up(t, 128)
+
+    # VMEM budget: scores (t, h·t_pad) f32 (possibly one live copy per
+    # unrolled tile iteration) + the two block-diagonal packs + in/out slabs
+    # must fit ~16 MB.  Shrink the batch tile first; very long sequences
+    # (e.g. 501-step NASA charge at large d_model) fall back to XLA.
+    def vmem_bytes(bt: int) -> int:
+        return 4 * (
+            bt * t * h * t_pad  # scores (dominant)
+            + 2 * d * h * t_pad  # K_bd + V_bd
+            + 4 * bt * t * d  # q/k/v/out slabs
+        )
+
+    budget = 12 * 1024 * 1024
+    while batch_tile > 1 and (b % batch_tile != 0 or vmem_bytes(batch_tile) > budget):
+        batch_tile -= 1
+    if b % batch_tile != 0 or vmem_bytes(batch_tile) > budget:
+        return blockdiag_mha_reference(q, k, v)
+
     grid = (b // batch_tile,)
     out = pl.pallas_call(
         functools.partial(
