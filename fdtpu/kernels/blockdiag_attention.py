@@ -152,3 +152,26 @@ def blockdiag_mha_reference(q: Array, k: Array, v: Array) -> Array:
     weights = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bhkd->bqhd", weights, v)
     return out.reshape(b, t, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def blockdiag_mha_trainable(q: Array, k: Array, v: Array, batch_tile: int = 2) -> Array:
+    """Differentiable wrapper: fused Pallas forward, XLA backward.
+
+    The backward recomputes the (cheap) attention weights with XLA einsums and
+    differentiates through them — the forward still avoids materializing the
+    score tensor in HBM, which is where the time goes."""
+    return blockdiag_mha(q, k, v, batch_tile=batch_tile)
+
+
+def _bd_fwd(q, k, v, batch_tile):
+    return blockdiag_mha(q, k, v, batch_tile=batch_tile), (q, k, v)
+
+
+def _bd_bwd(batch_tile, residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(blockdiag_mha_reference, q, k, v)
+    return vjp(g)
+
+
+blockdiag_mha_trainable.defvjp(_bd_fwd, _bd_bwd)

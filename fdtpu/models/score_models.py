@@ -365,12 +365,9 @@ def score_apply(
     if cfg.backbone == "lstm":
         h = _lstm_backbone(params, cfg, h)
     else:
-        # The Pallas block-diagonal kernel has no VJP — training always uses
-        # the differentiable einsum attention.
-        impl = cfg.attention_impl if not train else "einsum"
         h, _, _ = _transformer_backbone(
             params, cfg, h, train=train, dropout_key=dropout_key,
-            attention_impl=impl,
+            attention_impl=cfg.attention_impl,
         )
 
     return (h @ params["unembedder"]["w"] + params["unembedder"]["b"]).astype(out_dtype)

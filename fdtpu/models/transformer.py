@@ -178,7 +178,7 @@ def encoder_layer_apply(
         if attention_impl == "blockdiag":
             # Block-diagonal fused kernel: project straight into its layouts
             # (head-major K^T / V) so the relayout fuses into the matmuls.
-            from fdtpu.kernels.blockdiag_attention import blockdiag_mha
+            from fdtpu.kernels.blockdiag_attention import blockdiag_mha_trainable
 
             d = x.shape[-1]
             dh = d // n_head
@@ -194,7 +194,7 @@ def encoder_layer_apply(
                 n_head, dh
             )[None, :, None, :]
             bt_tile = 2 if x.shape[0] % 2 == 0 else 1
-            attn_out = blockdiag_mha(q2, k2, v2, batch_tile=bt_tile)
+            attn_out = blockdiag_mha_trainable(q2, k2, v2, bt_tile)
             attn_out = attn_out @ p["attn"]["out_w"] + p["attn"]["out_b"]
             x = _layer_norm(
                 x + _maybe_dropout(attn_out, dropout, train, dk[0]), p["ln1"], ln_eps

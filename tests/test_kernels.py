@@ -101,3 +101,31 @@ def test_blockdiag_model_forward_matches_einsum():
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4)
     finally:
         bda.blockdiag_mha = orig
+
+
+def test_blockdiag_trainable_gradients():
+    """custom_vjp wrapper: gradients flow and match the XLA formulation."""
+    from fdtpu.kernels import blockdiag_attention as bda
+
+    orig = bda.blockdiag_mha
+    bda.blockdiag_mha = lambda q, k, v, batch_tile=1, interpret=False: orig(
+        q, k, v, batch_tile=batch_tile, interpret=True
+    )
+    try:
+        B, T, H, Dh = 2, 16, 2, 6
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H * Dh))
+        k = jax.random.normal(jax.random.PRNGKey(1), (B, H, Dh, T))
+        v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, Dh))
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(bda.blockdiag_mha_trainable(q, k, v, 1) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(bda.blockdiag_mha_reference(q, k, v) ** 2)
+
+        g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for gk, gr in zip(g_kernel, g_ref):
+            np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-3)
+    finally:
+        bda.blockdiag_mha = orig

@@ -174,3 +174,35 @@ def test_cross_batch_cache_recomputes_at_new_trajectory():
     # Per batch: step-0-equivalent full + calibration full = 2; rest skipped.
     assert stats["full_steps"] == 6, stats
     assert stats["cached_steps"] == 12, stats
+
+
+def test_freqca_enabled_sampling_runs():
+    """KV-level caching with FreqCa decomposition history in the scan carry."""
+    model = make_model()
+    sampler = DiffusionSampler(
+        model, sample_batch_size=4, use_cache=True,
+        cache_kwargs={
+            "level": "kv", "policy": "event", "K": 2, "R": 4,
+            "use_freqca": True, "freq_decomp_interval": 2, "max_history": 4,
+        },
+    )
+    samples = sampler.sample(4, 10, key=jax.random.PRNGKey(21))
+    assert np.isfinite(samples).all()
+    state = sampler.last_cache_state
+    assert int(state.hist_len) >= 2  # decomposition history accumulated
+    assert state.crf_high_hist.shape[0] == 4
+
+
+def test_random_probe_ratio_forces_mixed_steps():
+    """quirk Q4: the documented-but-missing random probe knob works here."""
+    model = make_model()
+    sampler = DiffusionSampler(
+        model, sample_batch_size=4, use_cache=True,
+        cache_kwargs={
+            "level": "kv", "policy": "event", "K": 0, "R": 1000,
+            "tau_0": 1e9, "tau_warn": 1e9, "random_probe_ratio": 0.5,
+        },
+    )
+    sampler.sample(4, 10, key=jax.random.PRNGKey(22))
+    stats = sampler.get_cache_stats()
+    assert stats["mixed_steps"] >= 5, stats
