@@ -7,11 +7,14 @@ per-head K/V slabs into block-diagonal matrices in VMEM:
     K_bd (D, H·T')   with K_bd[h·Dh:(h+1)·Dh, h·T':h·T'+T] = k_h^T
     V_bd (H·T', D)   with V_bd[h·T':h·T'+T, h·Dh:(h+1)·Dh] = v_h
 
-so that ONE matmul  scores = q (T, D) @ K_bd  yields every head's (T, T)
-score block side by side (the zero rows of other heads contribute nothing),
-and ONE matmul  out = weights @ V_bd  produces the merged (T, D) output.
-T' is padded to a multiple of 128; padded key columns are masked to -inf
-before the fused softmax.  Everything stays in VMEM.
+so that ONE matmul  scores = q (TQ, D) @ K_bd  yields every head's score
+block side by side (the zero rows of other heads contribute nothing), and
+ONE matmul  out = weights @ V_bd  produces the merged (TQ, D) output.
+T' is padded to a multiple of 128; padded key columns are masked to −inf
+before the fused per-block softmax.  Queries are processed in row tiles so
+long sequences (e.g. 501-step NASA charge) stay inside VMEM; the packed
+K_bd/V_bd are built once per batch element and reused across query tiles
+(grid cells run sequentially on the TensorCore, scratch persists).
 """
 
 from __future__ import annotations
@@ -33,19 +36,65 @@ def _round_up(x: int, m: int) -> int:
 
 def _bd_kernel(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
                n_head: int, head_dim: int, seq: int, t_pad: int, scale: float):
-    bt = q_ref.shape[0]
-    d = n_head * head_dim
+    j = pl.program_id(1)
 
-    # Zero the off-block regions ONCE: scratch persists across the sequential
-    # grid cells on TPU, and the diagonal blocks are overwritten every
-    # iteration while everything off-diagonal stays zero.
+    # Zero the off-block scratch regions ONCE: scratch persists across the
+    # sequential grid cells, and the diagonal blocks are overwritten per
+    # batch element while everything off-diagonal stays zero.
+    @pl.when((pl.program_id(0) == 0) & (j == 0))
+    def _():
+        kbd_ref[:] = jnp.zeros_like(kbd_ref)
+        vbd_ref[:] = jnp.zeros_like(vbd_ref)
+
+    # Pack this batch element's block-diagonal K and V at the first q-tile
+    # (static offsets → static strided stores).
+    @pl.when(j == 0)
+    def _():
+        for h in range(n_head):
+            kbd_ref[h * head_dim:(h + 1) * head_dim, h * t_pad:h * t_pad + seq] = (
+                k_ref[0, h]
+            )
+            vbd_ref[h * t_pad:h * t_pad + seq, h * head_dim:(h + 1) * head_dim] = (
+                v_ref[0, h]
+            )
+
+    tq = q_ref.shape[1]
+    scores = jax.lax.dot_general(
+        q_ref[0], kbd_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (TQ, H·T')
+
+    # Mask padded key positions within each block.
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where((col % t_pad) < seq, scores, -jnp.inf)
+
+    # Per-block softmax: reshape the lane axis into (H, T').
+    s3 = scores.reshape(tq, n_head, t_pad)
+    s3 = s3 - jnp.max(s3, axis=-1, keepdims=True)
+    w3 = jnp.exp(s3)
+    w3 = w3 / jnp.sum(w3, axis=-1, keepdims=True)
+    weights = w3.reshape(tq, n_head * t_pad)
+
+    o_ref[0] = jnp.dot(
+        weights.astype(vbd_ref.dtype), vbd_ref[:],
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _bd_kernel_batch(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
+                     n_head: int, head_dim: int, seq: int, t_pad: int,
+                     scale: float):
+    """Batch-tiled variant: whole (unpadded) query range per cell, several
+    batch elements per cell for cross-element pipelining."""
+    bt = q_ref.shape[0]
+
     @pl.when(pl.program_id(0) == 0)
     def _():
         kbd_ref[:] = jnp.zeros_like(kbd_ref)
         vbd_ref[:] = jnp.zeros_like(vbd_ref)
 
     for b in range(bt):
-        # Pack block-diagonal K and V (static offsets → static strided stores).
         for h in range(n_head):
             kbd_ref[h * head_dim:(h + 1) * head_dim, h * t_pad:h * t_pad + seq] = (
                 k_ref[b, h]
@@ -53,36 +102,27 @@ def _bd_kernel(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
             vbd_ref[h * t_pad:h * t_pad + seq, h * head_dim:(h + 1) * head_dim] = (
                 v_ref[b, h]
             )
-
         scores = jax.lax.dot_general(
             q_ref[b], kbd_ref[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (T, H·T')
-
-        # Mask padded key positions within each block.
+        ) * scale
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        in_block = (col % t_pad) < seq
-        scores = jnp.where(in_block, scores, -jnp.inf)
-
-        # Per-row-per-block softmax == plain row softmax here, because each
-        # row's finite entries across DIFFERENT blocks must be normalized
-        # per block.  Reshape the lane axis into (H, T') to softmax per block.
+        scores = jnp.where((col % t_pad) < seq, scores, -jnp.inf)
         s3 = scores.reshape(seq, n_head, t_pad)
         s3 = s3 - jnp.max(s3, axis=-1, keepdims=True)
         w3 = jnp.exp(s3)
         w3 = w3 / jnp.sum(w3, axis=-1, keepdims=True)
         weights = w3.reshape(seq, n_head * t_pad)
-
         o_ref[b] = jnp.dot(
             weights.astype(vbd_ref.dtype), vbd_ref[:],
             preferred_element_type=jnp.float32,
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
 def blockdiag_mha(
-    q: Array, k: Array, v: Array, batch_tile: int = 1, interpret: bool = False
+    q: Array, k: Array, v: Array, q_tile: int = 256, interpret: bool = False
 ) -> Array:
     """Fused block-diagonal attention.
 
@@ -90,56 +130,79 @@ def blockdiag_mha(
         q: ``(B, T, D)`` — token-major queries (merged heads).
         k: ``(B, H, Dh, T)`` — per-head transposed keys.
         v: ``(B, H, T, Dh)`` — per-head values.
+        q_tile: query rows per grid cell in the long-sequence regime.
 
     Returns:
         ``(B, T, D)`` merged attention output.
+
+    Two regimes: short sequences process the whole query range with two
+    batch elements per grid cell (cross-element pipelining); long sequences
+    tile the query rows and rebuild the K/V packs once per batch element.
     """
     b, t, d = q.shape
     h, dh = k.shape[1], k.shape[2]
     t_pad = _round_up(t, 128)
-
-    # VMEM budget: scores (t, h·t_pad) f32 (possibly one live copy per
-    # unrolled tile iteration) + the two block-diagonal packs + in/out slabs
-    # must fit ~16 MB.  Shrink the batch tile first; very long sequences
-    # (e.g. 501-step NASA charge at large d_model) fall back to XLA.
-    def vmem_bytes(bt: int) -> int:
-        return 4 * (
-            bt * t * h * t_pad  # scores (dominant)
-            + 2 * d * h * t_pad  # K_bd + V_bd
-            + 4 * bt * t * d  # q/k/v/out slabs
-        )
-
     budget = 12 * 1024 * 1024
-    while batch_tile > 1 and (b % batch_tile != 0 or vmem_bytes(batch_tile) > budget):
-        batch_tile -= 1
-    if b % batch_tile != 0 or vmem_bytes(batch_tile) > budget:
+    pack_bytes = 4 * 2 * d * h * t_pad
+
+    def batch_vmem(bt_: int) -> int:
+        return 4 * (bt_ * t * h * t_pad) + pack_bytes + 4 * 4 * bt_ * t * d
+
+    scratch = [
+        pltpu.VMEM((d, h * t_pad), jnp.float32),
+        pltpu.VMEM((h * t_pad, d), jnp.float32),
+    ]
+    common = dict(n_head=h, head_dim=dh, seq=t, t_pad=t_pad,
+                  scale=1.0 / math.sqrt(dh))
+
+    bt = 2 if b % 2 == 0 else 1
+    if batch_vmem(bt) <= budget or batch_vmem(bt := 1) <= budget:
+        return pl.pallas_call(
+            functools.partial(_bd_kernel_batch, **common),
+            out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+            grid=(b // bt,),
+            in_specs=[
+                pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, h, dh, t), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, h, t, dh), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bt, t, d), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(q, k, v)
+
+    # Long-sequence regime: tile query rows.
+    tq = min(q_tile, t_pad)
+
+    def tiled_vmem(tq_: int) -> int:
+        return 4 * (tq_ * h * t_pad) + pack_bytes + 4 * (2 * tq_ * d + 2 * h * dh * t)
+
+    while tq > 128 and tiled_vmem(tq) > budget:
+        tq //= 2
+    if tiled_vmem(tq) > budget:
         return blockdiag_mha_reference(q, k, v)
 
-    grid = (b // batch_tile,)
-    out = pl.pallas_call(
-        functools.partial(
-            _bd_kernel, n_head=h, head_dim=dh, seq=t, t_pad=t_pad,
-            scale=1.0 / math.sqrt(dh),
-        ),
+    return pl.pallas_call(
+        functools.partial(_bd_kernel, **common),
         out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
-        grid=grid,
+        grid=(b, pl.cdiv(t, tq)),
         in_specs=[
-            pl.BlockSpec((batch_tile, t, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tq, d), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, h, dh, t), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h, dh, t), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, h, t, dh), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, h, t, dh), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((batch_tile, t, d), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, tq, d), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((d, h * t_pad), jnp.float32),
-            pltpu.VMEM((h * t_pad, d), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(q, k, v)
-    return out
 
 
 def blockdiag_mha_reference(q: Array, k: Array, v: Array) -> Array:
@@ -155,20 +218,20 @@ def blockdiag_mha_reference(q: Array, k: Array, v: Array) -> Array:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def blockdiag_mha_trainable(q: Array, k: Array, v: Array, batch_tile: int = 2) -> Array:
+def blockdiag_mha_trainable(q: Array, k: Array, v: Array, q_tile: int = 256) -> Array:
     """Differentiable wrapper: fused Pallas forward, XLA backward.
 
-    The backward recomputes the (cheap) attention weights with XLA einsums and
+    The backward recomputes the attention weights with XLA einsums and
     differentiates through them — the forward still avoids materializing the
     score tensor in HBM, which is where the time goes."""
-    return blockdiag_mha(q, k, v, batch_tile=batch_tile)
+    return blockdiag_mha(q, k, v, q_tile=q_tile)
 
 
-def _bd_fwd(q, k, v, batch_tile):
-    return blockdiag_mha(q, k, v, batch_tile=batch_tile), (q, k, v)
+def _bd_fwd(q, k, v, q_tile):
+    return blockdiag_mha(q, k, v, q_tile=q_tile), (q, k, v)
 
 
-def _bd_bwd(batch_tile, residuals, g):
+def _bd_bwd(q_tile, residuals, g):
     q, k, v = residuals
     _, vjp = jax.vjp(blockdiag_mha_reference, q, k, v)
     return vjp(g)

@@ -193,8 +193,7 @@ def encoder_layer_apply(
             v2 = jnp.einsum("btd,dhe->bhte", x, wv) + bias[2 * d:].reshape(
                 n_head, dh
             )[None, :, None, :]
-            bt_tile = 2 if x.shape[0] % 2 == 0 else 1
-            attn_out = blockdiag_mha_trainable(q2, k2, v2, bt_tile)
+            attn_out = blockdiag_mha_trainable(q2, k2, v2)
             attn_out = attn_out @ p["attn"]["out_w"] + p["attn"]["out_b"]
             x = _layer_norm(
                 x + _maybe_dropout(attn_out, dropout, train, dk[0]), p["ln1"], ln_eps

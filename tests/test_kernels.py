@@ -67,7 +67,7 @@ def test_blockdiag_kernel_matches_reference_interpret():
     q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H * Dh))
     k = jax.random.normal(jax.random.PRNGKey(1), (B, H, Dh, T))
     v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, Dh))
-    out = blockdiag_mha(q, k, v, batch_tile=2, interpret=True)
+    out = blockdiag_mha(q, k, v, q_tile=128, interpret=True)
     ref = blockdiag_mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
@@ -83,8 +83,8 @@ def test_blockdiag_model_forward_matches_einsum():
 
     orig = bda.blockdiag_mha
 
-    def interp(q, k, v, batch_tile=1, interpret=False):
-        return orig(q, k, v, batch_tile=batch_tile, interpret=True)
+    def interp(q, k, v, q_tile=256, interpret=False):
+        return orig(q, k, v, q_tile=q_tile, interpret=True)
 
     bda.blockdiag_mha = interp
     try:
@@ -108,8 +108,8 @@ def test_blockdiag_trainable_gradients():
     from fdtpu.kernels import blockdiag_attention as bda
 
     orig = bda.blockdiag_mha
-    bda.blockdiag_mha = lambda q, k, v, batch_tile=1, interpret=False: orig(
-        q, k, v, batch_tile=batch_tile, interpret=True
+    bda.blockdiag_mha = lambda q, k, v, q_tile=256, interpret=False: orig(
+        q, k, v, q_tile=q_tile, interpret=True
     )
     try:
         B, T, H, Dh = 2, 16, 2, 6
