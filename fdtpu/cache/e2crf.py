@@ -70,7 +70,9 @@ class E2CRFConfig:
     # 1 = linear extrapolation from the last two full computations — the
     # FreqCa trajectory-prediction idea applied at the noise-prediction
     # level, which cuts the per-step drift and allows deeper skipping at the
-    # same error budget.
+    # same error budget.  2 = quadratic (three-point Newton) — higher
+    # fidelity at matched τ but its curvature term amplifies over long
+    # skips, so 1 remains the best skip-rate/quality frontier and default.
     eps_order: int = 1
     random_probe_ratio: float = 0.0
     # Ablation switch: weight per-token CRF drift by spectral energy
@@ -141,7 +143,9 @@ class CacheState(struct.PyTreeNode):
     # Score-level cache: last fully-computed noise prediction and drift rate.
     eps_hat: Array  # (B, T, C)
     eps_prev: Array  # (B, T, C) — the full computation before eps_hat
+    eps_prev2: Array  # (B, T, C) — the one before eps_prev (order-2 predictor)
     eps_gap: Array  # () steps between eps_prev and eps_hat (extrapolation dt)
+    eps_gap2: Array  # () steps between eps_prev2 and eps_prev
     drift_rate: Array  # () per-step relative ε̂ drift measured at last refresh
     err_acc: Array  # () accumulated predicted drift since last refresh
     last_full_step: Array  # () int32
@@ -204,7 +208,9 @@ def init_cache_state(
         delta_tok=jnp.zeros((max_len,), dtype),
         eps_hat=jnp.zeros(eps_shape, dtype),
         eps_prev=jnp.zeros(eps_shape, dtype),
+        eps_prev2=jnp.zeros(eps_shape, dtype),
         eps_gap=jnp.zeros((), dtype),
+        eps_gap2=jnp.zeros((), dtype),
         drift_rate=jnp.zeros((), dtype),
         err_acc=jnp.zeros((), dtype),
         last_full_step=zero,

@@ -68,7 +68,7 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
     replicated = {
         f: put(getattr(state, f), rep)
         for f in (
-            "crf_prev", "delta_tok", "eps_gap", "drift_rate", "err_acc", "last_full_step", "cold",
+            "crf_prev", "delta_tok", "eps_gap", "eps_gap2", "drift_rate", "err_acc", "last_full_step", "cold",
             "crf_low", "crf_high_hist", "crf_t_hist", "hist_len", "step",
             "recompute_count", "cache_hit_count", "full_steps", "mixed_steps",
             "cached_steps",
@@ -79,6 +79,7 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
         v=put(state.v, kv_spec),
         eps_hat=put(state.eps_hat, eps_spec),
         eps_prev=put(state.eps_prev, eps_spec),
+        eps_prev2=put(state.eps_prev2, eps_spec),
         **replicated,
     )
 
@@ -211,7 +212,34 @@ def _sample_chain(
         t_batch = jnp.full((batch,), t, x.dtype)
         _, std = scheduler.marginal_prob(x, t_batch)
 
-        extrapolate = cache_cfg.eps_order >= 1
+        order = cache_cfg.eps_order
+
+        def eps_predict(c: CacheState, steps_ahead):
+            """Extrapolate ε̂ ``steps_ahead`` past the last full computation.
+
+            Order 0: frozen reuse.  Order 1: linear from the last two full
+            computations.  Order 2: quadratic (Newton form) from the last
+            three — the FreqCa trajectory-prediction idea at the ε level.
+            """
+            if order == 0:
+                return c.eps_hat
+            slope1 = jnp.where(
+                c.eps_gap > 0, (c.eps_hat - c.eps_prev) / jnp.maximum(c.eps_gap, 1), 0.0
+            )
+            pred = c.eps_hat + slope1 * steps_ahead
+            if order >= 2:
+                slope2 = jnp.where(
+                    c.eps_gap2 > 0,
+                    (c.eps_prev - c.eps_prev2) / jnp.maximum(c.eps_gap2, 1),
+                    0.0,
+                )
+                span = jnp.maximum(c.eps_gap + c.eps_gap2, 1.0) / 2.0
+                curvature = jnp.where(
+                    (c.eps_gap > 0) & (c.eps_gap2 > 0),
+                    (slope1 - slope2) / span, 0.0,
+                )
+                pred = pred + 0.5 * curvature * steps_ahead * (steps_ahead + c.eps_gap)
+            return pred
 
         def full_fn(c: CacheState):
             score = score_apply(variables, model_cfg, x, t_batch)
@@ -220,19 +248,15 @@ def _sample_chain(
             is_cold = c.cold
             steps_since = jnp.maximum(c.step - c.last_full_step, 1).astype(x.dtype)
             # Drift rate measured against what the skip branch WOULD have
-            # predicted for this step — with extrapolation on, the budget
-            # tracks the extrapolation residual, not the raw ε̂ change.
-            if extrapolate:
-                slope = jnp.where(
-                    c.eps_gap > 0, (c.eps_hat - c.eps_prev) / jnp.maximum(c.eps_gap, 1), 0.0
-                )
-                eps_pred = c.eps_hat + slope * steps_since
-            else:
-                eps_pred = c.eps_hat
+            # predicted for this step — the budget tracks the extrapolation
+            # residual, not the raw ε̂ change.
+            eps_pred = eps_predict(c, steps_since)
             rel = jnp.linalg.norm(eps_new - eps_pred) / denom
             drift_rate = jnp.where(is_cold, jnp.zeros((), x.dtype), rel / steps_since)
             c = c.replace(
                 cold=jnp.zeros((), bool),
+                eps_prev2=jnp.where(is_cold, eps_new, c.eps_prev),
+                eps_gap2=jnp.where(is_cold, jnp.zeros((), x.dtype), c.eps_gap),
                 eps_prev=jnp.where(is_cold, eps_new, c.eps_hat),
                 eps_gap=jnp.where(is_cold, jnp.zeros((), x.dtype), steps_since),
                 eps_hat=eps_new,
@@ -245,17 +269,10 @@ def _sample_chain(
             return score, c
 
         def skip_fn(c: CacheState):
-            # Reconstruct the score from the cached noise prediction —
-            # optionally linearly extrapolated along the trajectory (the
-            # FreqCa prediction idea at the ε level).  The network is skipped.
-            if extrapolate:
-                steps_ahead = (c.step - c.last_full_step + 1).astype(x.dtype)
-                slope = jnp.where(
-                    c.eps_gap > 0, (c.eps_hat - c.eps_prev) / jnp.maximum(c.eps_gap, 1), 0.0
-                )
-                eps = c.eps_hat + slope * steps_ahead
-            else:
-                eps = c.eps_hat
+            # Reconstruct the score from the predicted noise — the network
+            # is skipped entirely.
+            steps_ahead = (c.step - c.last_full_step + 1).astype(x.dtype)
+            eps = eps_predict(c, steps_ahead)
             score = -eps / std[..., None]
             c = c.replace(
                 err_acc=c.err_acc + c.drift_rate,
