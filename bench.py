@@ -51,12 +51,15 @@ REFERENCE_AVG_SPEEDUP = 3.2  # paper §4.1: 2.1–4.3× across 5 datasets (CPU)
 CACHE_KWARGS = {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1}
 
 
-def measure(sampler, num_samples, steps, key, repeats: int = 3) -> tuple[float, float]:
-    """Median of several timed runs — single-run timings on the TPU tunnel
-    vary by up to 2x, so one sample is not trustworthy."""
+def measure(sampler, num_samples, steps, key, min_total_s: float = 20.0,
+            max_repeats: int = 15) -> tuple[float, float]:
+    """Median of repeated timed runs.  Single-run timings on the TPU tunnel
+    vary by up to 2x, and fast (cached) runs finish in ~1-2 s where that
+    noise dominates — so repeat until at least ``min_total_s`` of measured
+    time has accumulated (min 3 runs)."""
     out = sampler.sample(num_samples, steps, key=key)  # warmup/compile
     times = []
-    for _ in range(repeats):
+    while (len(times) < 3) or (sum(times) < min_total_s and len(times) < max_repeats):
         sampler.last_cache_state = None
         t0 = time.time()
         out = sampler.sample(num_samples, steps, key=key)
