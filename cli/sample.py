@@ -57,11 +57,17 @@ class SamplingRunner:
 
         sampler_cfg = dict(cfg["sampler"])
         sampler_cfg.pop("name", None)
+        # Reference-compatible override forms: cache flags may live at the
+        # root (sample.yaml) or under the sampler group
+        # (``+sampler.use_cache=true``, README.md:179) — sampler-level wins.
+        use_cache = bool(sampler_cfg.pop("use_cache", cfg.get("use_cache", False)))
+        cache_kwargs = sampler_cfg.pop("cache_kwargs", None) or cfg.get("cache_kwargs") or {}
+        use_fresca = bool(sampler_cfg.pop("use_fresca", cfg.get("use_fresca", False)))
         self.sampler = DiffusionSampler(
             self.model,
-            use_cache=bool(cfg.get("use_cache", False)),
-            cache_kwargs=cfg.get("cache_kwargs") or {},
-            use_fresca=bool(cfg.get("use_fresca", False)),
+            use_cache=use_cache,
+            cache_kwargs=cache_kwargs,
+            use_fresca=use_fresca,
             **(cfg.get("fresca_kwargs") or {}),
             **sampler_cfg,
         )

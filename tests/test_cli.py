@@ -86,3 +86,21 @@ def test_sample_cli_artifacts(trained_run):
     with open(trained_run / "cache_stats.yaml") as f:
         stats = yaml.safe_load(f)
     assert stats["current_step"] == 4
+
+
+def test_sample_cli_reference_style_overrides(trained_run):
+    """Reference README form: +sampler.use_cache=true +sampler.cache_kwargs={}."""
+    run_cli(
+        "sample.py",
+        f"model_path={trained_run.parent}",
+        "model_id=latest",
+        "num_samples=4",
+        "num_diffusion_steps=3",
+        "sampler.sample_batch_size=4",
+        "metrics.metrics.0.num_directions=5",
+        "+sampler.use_cache=true",
+        "+sampler.cache_kwargs.level=score",
+    )
+    with open(trained_run / "cache_stats.yaml") as f:
+        stats = yaml.safe_load(f)
+    assert stats["current_step"] == 3
