@@ -100,6 +100,11 @@ class SamplingRunner:
             yaml.safe_dump(results, f)
         np.save(self.model_dir / "samples.npy", x)
         if self.sampler.use_cache:
+            # Cached samples also land in samples_cache/ (reference
+            # cmd/sample.py:120-135 layout).
+            cache_dir = self.model_dir / "samples_cache"
+            cache_dir.mkdir(exist_ok=True)
+            np.save(cache_dir / "samples.npy", x)
             stats = self.sampler.get_cache_stats()
             with open(self.model_dir / "cache_stats.yaml", "w") as f:
                 yaml.safe_dump(stats, f)
