@@ -21,6 +21,12 @@ from fdtpu.utils.torch_migration import convert_torch_state_dict
 MAX_LEN, CHANNELS, D, L, H, FF = 20, 3, 24, 2, 4, 48
 
 
+class FakeScheduler:
+    """Stands in for the reference's pickled VPScheduler hyperparameter."""
+
+    beta_min = 0.1
+
+
 class TorchRefModel(torch.nn.Module):
     """The reference ScoreModule pipeline built from torch primitives
     (reference score_models.py:54-113 without the Lightning wrapper)."""
@@ -122,3 +128,38 @@ def test_forward_matches_torch_at_extreme_timesteps(models):
         got = np.asarray(score_apply(jax.tree.map(jnp.asarray, variables), cfg,
                                      jnp.asarray(x), jnp.asarray(t)))
         np.testing.assert_allclose(got, expected, atol=3e-5)
+
+
+def test_load_reference_ckpt_file(models, tmp_path):
+    """Lightning-style .ckpt files load even when they carry pickled objects
+    from classes that are no longer importable (the reference pickles its
+    scheduler into the checkpoint)."""
+    import sys
+
+    ref, cfg, variables = models
+    ckpt = {
+        "state_dict": ref.fdtpu_state_dict(),
+        "hyper_parameters": {"noise_scheduler": FakeScheduler(), "d_model": D},
+        "epoch": 3,
+    }
+    path = tmp_path / "epoch=3-val_loss=0.01.ckpt"
+    torch.save(ckpt, path)
+
+    from fdtpu.utils.torch_migration import load_reference_checkpoint
+
+    # Happy path: the pickled class is importable.
+    loaded = load_reference_checkpoint(path, cfg)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(variables)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # Unimportable-class path: delete the class so torch.load fails and the
+    # tolerant unpickler takes over.
+    saved_cls = FakeScheduler
+    mod = sys.modules[saved_cls.__module__]
+    delattr(mod, "FakeScheduler")
+    try:
+        loaded = load_reference_checkpoint(path, cfg)
+        for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(variables)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    finally:
+        mod.FakeScheduler = saved_cls
