@@ -1,14 +1,13 @@
-"""Pallas fused multi-head attention for short sequences.
+"""Pallas fused per-head attention (reference kernel).
 
-The score transformer attends over ≤512 frequency tokens with tiny heads
-(d_model=72 → 12 heads × 6 dims).  XLA materializes the (B, H, T, T) float32
-score tensor in HBM between the QK matmul, the 5-pass softmax, and the AV
-matmul — at batch 64 that is ~134 MB bounced several times per layer, and
-in-scan profiling shows softmax+AV costing ~6.3 of the 7.5 ms forward.
-
-This kernel keeps each batch-tile's scores entirely in VMEM: QK^T → softmax
-(f32) → AV fused, nothing spilled.  The head loop is unrolled (static H);
-grid is over batch tiles.
+Keeps each batch-tile's Q/K/V and the per-head score matrix entirely in
+VMEM: QK^T → softmax(f32) → AV fused, nothing spilled.  At tiny head dims
+(Dh=6) it only *matches* XLA — the per-head (T, Dh) dots are
+MXU-latency-bound — so the production path is
+:mod:`fdtpu.kernels.blockdiag_attention`, which packs all heads into two
+large matmuls and measures ~1.3× faster end to end.  This kernel is kept as
+the straightforward formulation (numerics ground truth in tests, and the
+better starting point for models with wide heads).
 
 Layout matches the model: ``(B, T, H, Dh)`` token-major, no head transposes.
 """
