@@ -140,3 +140,65 @@ def test_eps_extrapolation_improves_fidelity(trained):
     dev1, skip1 = deviation(1)
     assert skip0 > 0.2 and skip1 > 0.2, (skip0, skip1)
     assert dev1 <= dev0 * 1.05, (dev0, dev1, skip0, skip1)
+
+
+def test_ve_scheduler_trains_and_samples(tmp_path):
+    """VE-SDE end to end: loss decreases, sampling stays finite and bounded."""
+    from fdtpu.diffusion import VEScheduler
+
+    dm = SyntheticDatamodule(
+        data_dir=tmp_path / "data", max_len=24, num_samples=256, batch_size=64,
+        standardize=True,
+    )
+    dm.prepare_data()
+    dm.setup()
+    params = get_training_params(dm, max_epochs=10)
+    cfg = ScoreModelConfig(
+        n_channels=1, max_len=24, d_model=16, num_layers=1, n_head=2,
+        dim_feedforward=32,
+    )
+    model = ScoreModel(
+        config=cfg,
+        variables=init_score_model(jax.random.PRNGKey(0), cfg),
+        scheduler=VEScheduler(sigma_max=2.0).with_noise_scaling(24),
+        num_training_steps=params["num_training_steps"],
+    )
+    trainer = Trainer(max_epochs=10, run_dir=tmp_path / "runs", seed=42, use_mesh=False)
+    model = trainer.fit(model, dm)
+
+    import json
+
+    records = [json.loads(l) for l in open(trainer.metrics_path)]
+    val = [r["val/loss"] for r in records if "val/loss" in r]
+    assert min(val) < val[0]
+
+    sampler = DiffusionSampler(
+        model, sample_batch_size=32, use_cache=True,
+        cache_kwargs={"level": "score", "R": 10, "tau_0": 0.1},
+    )
+    out = sampler.sample(32, 30, key=jax.random.PRNGKey(3))
+    assert np.isfinite(out).all()
+
+
+def test_likelihood_weighting_training(tmp_path):
+    """likelihood_weighting=True trains without blowing up."""
+    dm = SyntheticDatamodule(
+        data_dir=tmp_path / "data", max_len=24, num_samples=128, batch_size=64,
+        standardize=True,
+    )
+    dm.prepare_data()
+    dm.setup()
+    cfg = ScoreModelConfig(
+        n_channels=1, max_len=24, d_model=8, num_layers=1, n_head=2,
+        dim_feedforward=16,
+    )
+    model = ScoreModel(
+        config=cfg,
+        variables=init_score_model(jax.random.PRNGKey(0), cfg),
+        scheduler=VPScheduler().with_noise_scaling(24),
+        num_training_steps=10,
+        likelihood_weighting=True,
+    )
+    trainer = Trainer(max_epochs=3, run_dir=tmp_path / "runs", seed=42, use_mesh=False)
+    model = trainer.fit(model, dm)
+    assert np.isfinite(trainer.best_val_loss)
