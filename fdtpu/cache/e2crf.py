@@ -19,6 +19,18 @@ Two caching levels (config ``level``):
   ``ε̂`` rescaled by the current marginal std (score(t) = −ε̂ / std(t)).
   This is the BASELINE.json north star — `lax.cond`-gated so skipped steps
   cost O(elementwise) instead of a transformer forward.
+* ``"token"`` — per-token E²-CRF with a **static top-k budget**: each step
+  either runs the full network (error-feedback refresh, every R steps),
+  recomputes only the ``token_budget`` highest-drift tokens end-to-end
+  (gather → project/attend/FFN on the dense (B, k, D) block → scatter into
+  the cached K/V and per-token ε̂ rows), or skips the network entirely when
+  the accumulated drift budget allows.  This is the mechanism the reference
+  paper describes (−50% KV proj / −45% MLP / −30% attention) made fast on
+  TPU: the masked MODE_MIXED formulation computes everything and selects
+  (zero FLOP savings), the top-k gather/scatter formulation skips real
+  FLOPs at static shapes.  Per-token ε̂ rows are cached in noise space and
+  rescaled by the current marginal std at use, so stale rows remain
+  correctly scaled across diffusion time.
 
 Recompute policies (config ``policy``):
 
@@ -65,7 +77,11 @@ class E2CRFConfig:
     tau_0: float = 0.1
     tau_warn: float = 0.5
     policy: str = "event"  # "event" | "macro"
-    level: str = "kv"  # "kv" | "score"
+    level: str = "kv"  # "kv" | "score" | "token"
+    # Static recompute budget for level="token": the number of tokens
+    # recomputed end-to-end on a TOPK step.  Compile-time constant (shapes
+    # the gathered block); must be ≥1 and ≤ max_len for the token level.
+    token_budget: int = 0
     # Score-level skip predictor order: 0 = freeze the last ε̂ (pure reuse),
     # 1 = linear extrapolation from the last two full computations — the
     # FreqCa trajectory-prediction idea applied at the noise-prediction
@@ -108,6 +124,7 @@ class E2CRFConfig:
         return (
             self.policy,
             self.level,
+            self.token_budget,
             self.eps_order,
             self.use_freqca,
             self.freq_decomp,
@@ -138,8 +155,13 @@ class CacheState(struct.PyTreeNode):
     # Cumulative residual features of the previous step (batch element 0,
     # matching reference score_models.py:183-190):
     crf_prev: Array  # (num_layers, T, d_model)
-    # Per-token CRF drift measured at the last step (event policy input):
+    # Per-token drift signal (event policy input).  KV level: CRF drift
+    # measured at the last step.  Token level: per-token relative ε̂
+    # extrapolation-residual rate measured at the token's last recompute.
     delta_tok: Array  # (T,)
+    # Token level only: per-token extrapolation bookkeeping.
+    gap_tok: Array  # (T,) steps between the last two recomputes of each token
+    last_tok: Array  # (T,) int32 step of each token's last recompute
     # Score-level cache: last fully-computed noise prediction and drift rate.
     eps_hat: Array  # (B, T, C)
     eps_prev: Array  # (B, T, C) — the full computation before eps_hat
@@ -191,11 +213,15 @@ def init_cache_state(
     zero = jnp.zeros((), jnp.int32)
     kv_shape = (
         (num_layers, batch, max_len, n_head, head_dim)
-        if cfg.level == "kv"
+        if cfg.level in ("kv", "token")
         else (0,)
     )
     crf_shape = (num_layers, max_len, d_model) if cfg.level == "kv" else (0,)
-    eps_shape = (batch, max_len, n_channels) if cfg.level == "score" else (0,)
+    eps_shape = (
+        (batch, max_len, n_channels) if cfg.level in ("score", "token") else (0,)
+    )
+    eps2_shape = (batch, max_len, n_channels) if cfg.level == "score" else (0,)
+    tok_shape = (max_len,) if cfg.level == "token" else (0,)
     hist_shape = (
         (cfg.max_history, num_layers, max_len, d_model)
         if (cfg.use_freqca and cfg.level == "kv")
@@ -206,9 +232,11 @@ def init_cache_state(
         v=jnp.zeros(kv_shape, kv_dtype),
         crf_prev=jnp.zeros(crf_shape, kv_dtype),
         delta_tok=jnp.zeros((max_len,), dtype),
+        gap_tok=jnp.zeros(tok_shape, dtype),
+        last_tok=jnp.zeros(tok_shape, jnp.int32),
         eps_hat=jnp.zeros(eps_shape, dtype),
         eps_prev=jnp.zeros(eps_shape, dtype),
-        eps_prev2=jnp.zeros(eps_shape, dtype),
+        eps_prev2=jnp.zeros(eps2_shape, dtype),
         eps_gap=jnp.zeros((), dtype),
         eps_gap2=jnp.zeros((), dtype),
         drift_rate=jnp.zeros((), dtype),
@@ -316,6 +344,50 @@ def score_skip_decision(pp: PolicyParams, state: CacheState) -> Array:
     interval_expired = (step - state.last_full_step) >= pp.R
     budget_exceeded = state.err_acc >= pp.tau_0
     return state.cold | is_calibration | interval_expired | budget_exceeded
+
+
+TOKEN_FULL = 0
+TOKEN_TOPK = 1
+TOKEN_SKIP = 2
+
+
+def token_policy(
+    cfg: E2CRFConfig, pp: PolicyParams, state: CacheState, x: Array
+) -> tuple[Array, Array, Array]:
+    """Step-mode decision for the token level.
+
+    Returns ``(mode, weighted_drift (T,), mean_drift ())`` with mode ∈
+    {TOKEN_FULL, TOKEN_TOPK, TOKEN_SKIP}:
+
+    * FULL — error-feedback refresh: cold start, the calibration step right
+      after it (per-token drift rates unknown), or the hard interval R
+      expired (reference README error-feedback description, paper Eq. 17).
+    * SKIP — the accumulated unattended-drift budget plus this step's
+      predicted drift stays under τ₀: reuse every token's extrapolated ε̂
+      and skip the network entirely.
+    * TOPK — otherwise: recompute the ``token_budget`` highest-priority
+      tokens (energy-weighted drift, K low-frequency anchors, random probes).
+    """
+    max_len = x.shape[1]
+    if cfg.energy_weighting:
+        energy = jnp.mean(
+            x.astype(jnp.float32) ** 2, axis=tuple(i for i in range(x.ndim) if i != 1)
+        )  # (T,)
+        energy_w = energy / (jnp.mean(energy) + 1e-8)
+    else:
+        energy_w = jnp.ones((max_len,), jnp.float32)
+
+    w_drift = state.delta_tok.astype(jnp.float32) * energy_w
+    mean_drift = jnp.mean(w_drift)
+
+    since_full = state.step - state.last_full_step
+    is_calibration = (since_full == 1) & (jnp.sum(state.delta_tok) == 0)
+    full = state.cold | is_calibration | (since_full >= pp.R)
+    skip = (~full) & ((state.err_acc + mean_drift) <= pp.tau_0)
+    mode = jnp.where(
+        full, TOKEN_FULL, jnp.where(skip, TOKEN_SKIP, TOKEN_TOPK)
+    ).astype(jnp.int32)
+    return mode, w_drift, mean_drift
 
 
 # ----------------------------------------------------------------- updates

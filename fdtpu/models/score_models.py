@@ -39,6 +39,7 @@ from fdtpu.models.transformer import (
     MODE_FULL,
     MODE_MIXED,
     encoder_layer_apply,
+    encoder_layer_topk,
     init_encoder_layer,
 )
 
@@ -371,6 +372,76 @@ def score_apply(
         )
 
     return (h @ params["unembedder"]["w"] + params["unembedder"]["b"]).astype(out_dtype)
+
+
+def score_apply_topk(
+    variables: dict[str, Params],
+    cfg: ScoreModelConfig,
+    x: Array,
+    timesteps: Array,
+    kv_cache: tuple[Array, Array],
+    idx: Array,
+) -> tuple[Array, tuple[Array, Array]]:
+    """Token-budget score forward: recompute only the ``idx`` rows end-to-end.
+
+    The static-top-k realization of the reference's per-token recompute sets
+    (cached_transformer.py:259-305): gathers the selected token rows through
+    embed → positional → time encoding → every encoder layer (query rows,
+    fresh K/V scattered into the cache, FFN) → unembed.  FLOP cost per layer
+    scales with ``k/T`` for the projections/FFN and ``k·T`` for attention —
+    genuinely skipped work, unlike the masked MODE_MIXED path.
+
+    Args:
+        kv_cache: ``(k, v)`` each ``(num_layers, B, T, H, Dh)``.
+        idx: ``(k_budget,)`` int32 token indices, shared across the batch.
+
+    Returns:
+        ``(out_rows, new_kv_cache)`` with out_rows ``(B, k_budget, C)`` — the
+        raw network output (score) for the selected tokens.
+    """
+    assert cfg.backbone == "transformer", "token caching applies to the transformer"
+    params = variables["params"]
+    constants = variables["constants"]
+
+    out_dtype = x.dtype
+    if cfg._cdtype != jnp.float32:
+        params = jax.tree.map(lambda a: a.astype(cfg._cdtype), params)
+        constants = jax.tree.map(lambda a: a.astype(cfg._cdtype), constants)
+        x = x.astype(cfg._cdtype)
+        timesteps = timesteps.astype(cfg._cdtype)
+        kv_cache = jax.tree.map(lambda a: a.astype(cfg._cdtype), kv_cache)
+
+    x_rows = jnp.take(x, idx, axis=1)  # (B, k, C)
+    h = x_rows @ params["embedder"]["w"] + params["embedder"]["b"]
+
+    # Positional rows (same max-norm-√d lookup as the full path).
+    import math as _math
+
+    from fdtpu.models.initializers import max_norm_rows
+
+    table = max_norm_rows(
+        params["pos_encoder"]["embedding"], _math.sqrt(cfg.d_model)
+    )
+    h = h + jnp.take(table, idx, axis=0)[None, :, :]
+    h = apply_gaussian_fourier_projection(
+        params["time_encoder"], constants["time_encoder"], h, timesteps
+    )
+
+    def body(carry, xs):
+        hidden = carry
+        layer_p, k_in, v_in = xs
+        hidden, (k_out, v_out) = encoder_layer_topk(
+            layer_p, hidden, (k_in, v_in), idx, cfg.n_head, ln_eps=cfg.ln_eps
+        )
+        return hidden, (k_out, v_out)
+
+    h, (k_new, v_new) = jax.lax.scan(
+        body, h, (params["backbone"], kv_cache[0], kv_cache[1])
+    )
+    out_rows = (h @ params["unembedder"]["w"] + params["unembedder"]["b"]).astype(
+        out_dtype
+    )
+    return out_rows, (k_new, v_new)
 
 
 def score_apply_cached(

@@ -129,6 +129,50 @@ def project_kv(p: Params, x: Array, n_head: int) -> tuple[Array, Array]:
     return _split_heads(k, n_head), _split_heads(v, n_head)
 
 
+def encoder_layer_topk(
+    p: Params,
+    x_rows: Array,
+    kv_cache: tuple[Array, Array],
+    idx: Array,
+    n_head: int,
+    *,
+    ln_eps: float = 1e-5,
+) -> tuple[Array, tuple[Array, Array]]:
+    """Token-budget layer: recompute attention + FFN for the ``idx`` rows only.
+
+    This is the static-shape realization of the paper's per-token E²-CRF
+    savings (reference cached_transformer.py:236-317 claims −50% KV-proj,
+    −45% MLP, −30% attention): a compile-time budget of ``k = len(idx)``
+    tokens is gathered into a dense ``(B, k, D)`` block, projected and run
+    through the FFN, and the fresh K/V rows are scattered into the cached
+    ``(B, T, H, Dh)`` stores.  Non-selected tokens are not touched at all —
+    their contribution rides the cached K/V (and the cached per-token ε̂ at
+    the output), so the skipped FLOPs are real, unlike a masked
+    compute-everything-select-some formulation.
+
+    Args:
+        x_rows: ``(B, k, D)`` hidden states of the selected tokens.
+        kv_cache: ``(k, v)`` each ``(B, T, H, Dh)`` — full-width cache.
+        idx: ``(k,)`` int32 token indices (shared across the batch).
+
+    Returns:
+        ``(y_rows, (k_full, v_full))`` — updated rows and scattered caches.
+    """
+    q = project_q(p, x_rows, n_head)  # (B, k, H, Dh)
+    k_new, v_new = project_kv(p, x_rows, n_head)
+    k_full = kv_cache[0].at[:, idx].set(k_new)
+    v_full = kv_cache[1].at[:, idx].set(v_new)
+
+    attn_out = _merge_heads(_attention(q, k_full, v_full))  # (B, k, D)
+    attn_out = attn_out @ p["attn"]["out_w"] + p["attn"]["out_b"]
+    x_rows = _layer_norm(x_rows + attn_out, p["ln1"], ln_eps)
+
+    ff = jax.nn.relu(x_rows @ p["linear1"]["w"] + p["linear1"]["b"])
+    ff = ff @ p["linear2"]["w"] + p["linear2"]["b"]
+    x_rows = _layer_norm(x_rows + ff, p["ln2"], ln_eps)
+    return x_rows, (k_full, v_full)
+
+
 def encoder_layer_apply(
     p: Params,
     x: Array,

@@ -39,6 +39,7 @@ from fdtpu.cache.e2crf import (
     init_cache_state,
     macro_policy,
     score_skip_decision,
+    token_policy,
     update_after_forward,
 )
 from fdtpu.diffusion.sde import SDE
@@ -47,6 +48,7 @@ from fdtpu.models.score_models import (
     ScoreModelConfig,
     score_apply,
     score_apply_cached,
+    score_apply_topk,
 )
 
 from fdtpu.ops.fresca import apply_fresca_to_score
@@ -68,7 +70,8 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
     replicated = {
         f: put(getattr(state, f), rep)
         for f in (
-            "crf_prev", "delta_tok", "eps_gap", "eps_gap2", "drift_rate", "err_acc", "last_full_step", "cold",
+            "crf_prev", "delta_tok", "gap_tok", "last_tok", "eps_gap",
+            "eps_gap2", "drift_rate", "err_acc", "last_full_step", "cold",
             "crf_low", "crf_high_hist", "crf_t_hist", "hist_len", "step",
             "recompute_count", "cache_hit_count", "full_steps", "mixed_steps",
             "cached_steps",
@@ -289,6 +292,141 @@ def _sample_chain(
         cache = cache.replace(step=cache.step + 1)
         return (x, k, cache), None
 
+    def token_level_body(carry, t):
+        """Per-token E²-CRF with static top-k budget (level="token").
+
+        Three `lax.switch` branches per step: FULL (error-feedback refresh of
+        every token + KV rebuild), TOPK (recompute only the ``token_budget``
+        highest-priority tokens end-to-end and scatter into the cached K/V
+        and ε̂ rows), SKIP (no network at all — every token's ε̂ row is
+        extrapolated and rescaled by the current marginal std).  The ε̂ cache
+        lives in noise space so stale rows stay correctly scaled as std(t)
+        shrinks along the trajectory (same trick as the score level).
+        """
+        x, k, cache = carry
+        k, k_noise, k_probe = jax.random.split(k, 3)
+        t_batch = jnp.full((batch,), t, x.dtype)
+        _, std = scheduler.marginal_prob(x, t_batch)  # (B, T)
+        stdc = std[..., None]  # (B, T, 1)
+
+        budget = min(int(cache_cfg.token_budget), max_len)
+        idx_range = jnp.arange(max_len)
+
+        # Per-token linear extrapolation of ε̂ (order 0 = frozen reuse).
+        age = (cache.step - cache.last_tok).astype(x.dtype)  # (T,)
+        if cache_cfg.eps_order == 0:
+            slope = jnp.zeros_like(cache.eps_hat)
+        else:
+            slope = jnp.where(
+                (cache.gap_tok > 0)[None, :, None],
+                (cache.eps_hat - cache.eps_prev)
+                / jnp.maximum(cache.gap_tok, 1.0)[None, :, None],
+                0.0,
+            )
+        eps_pred = cache.eps_hat + slope * age[None, :, None]  # (B, T, C)
+
+        mode, w_drift, mean_drift = token_policy(cache_cfg, pp, cache, x)
+
+        def _tok_residual_rate(eps_new, pred, ages):
+            """Relative extrapolation residual per token per elapsed step.
+
+            Norms over (batch, channels) in float32; ``ages`` counts the
+            steps the prediction had to bridge.
+            """
+            num = jnp.linalg.norm(
+                (eps_new - pred).astype(jnp.float32), axis=(0, 2)
+            )
+            den = jnp.linalg.norm(eps_new.astype(jnp.float32), axis=(0, 2)) + 1e-8
+            return (num / den) / jnp.maximum(ages.astype(jnp.float32), 1.0)
+
+        def full_fn(c: CacheState):
+            score, kv_new, _ = score_apply_cached(
+                variables, model_cfg, x, t_batch, (c.k, c.v),
+                jnp.ones((max_len,), bool), 0,  # MODE_FULL
+            )
+            eps_new = -stdc * score
+            rate = jnp.where(
+                c.cold,
+                jnp.zeros((max_len,), jnp.float32),
+                _tok_residual_rate(eps_new, eps_pred, age),
+            ).astype(c.delta_tok.dtype)
+            c = c.replace(
+                k=kv_new[0],
+                v=kv_new[1],
+                eps_prev=jnp.where(c.cold, eps_new, c.eps_hat),
+                gap_tok=jnp.where(c.cold, jnp.zeros_like(age), age),
+                eps_hat=eps_new,
+                last_tok=jnp.full_like(c.last_tok, c.step),
+                delta_tok=rate,
+                err_acc=jnp.zeros((), c.err_acc.dtype),
+                last_full_step=c.step,
+                cold=jnp.zeros((), bool),
+                full_steps=c.full_steps + 1,
+                recompute_count=c.recompute_count + max_len,
+            )
+            return score, c
+
+        def topk_fn(c: CacheState):
+            # Priority: energy-weighted drift, K low-frequency anchors always
+            # in (reference policy's first-2K refresh analog), random probes
+            # forced in below the anchors (quirk Q4's random_probe_ratio).
+            low_bonus = jnp.where(idx_range < pp.K, 2e9, 0.0)
+            probe = jnp.where(
+                jax.random.uniform(k_probe, (max_len,)) < pp.random_probe_ratio,
+                1e9,
+                0.0,
+            )
+            _, idx = jax.lax.top_k(w_drift + low_bonus + probe, budget)
+
+            out_rows, kv_new = score_apply_topk(
+                variables, model_cfg, x, t_batch, (c.k, c.v), idx
+            )
+            std_rows = jnp.take(std, idx, axis=1)  # (B, k)
+            eps_rows = -std_rows[..., None] * out_rows
+            pred_rows = jnp.take(eps_pred, idx, axis=1)
+            age_rows = jnp.take(age, idx)
+            rate_rows = _tok_residual_rate(eps_rows, pred_rows, age_rows).astype(
+                c.delta_tok.dtype
+            )
+
+            eps_full = eps_pred.at[:, idx].set(eps_rows)
+            score = -eps_full / stdc
+
+            # Unattended drift accrues into the error budget; the attended
+            # share is considered served this step.
+            attended = jnp.sum(jnp.take(w_drift, idx)) / max_len
+            err_inc = jnp.maximum(mean_drift - attended, 0.0)
+            c = c.replace(
+                k=kv_new[0],
+                v=kv_new[1],
+                eps_prev=c.eps_prev.at[:, idx].set(jnp.take(c.eps_hat, idx, axis=1)),
+                gap_tok=c.gap_tok.at[idx].set(age_rows),
+                eps_hat=c.eps_hat.at[:, idx].set(eps_rows),
+                last_tok=c.last_tok.at[idx].set(c.step),
+                delta_tok=c.delta_tok.at[idx].set(rate_rows),
+                err_acc=c.err_acc + err_inc.astype(c.err_acc.dtype),
+                mixed_steps=c.mixed_steps + 1,
+                recompute_count=c.recompute_count + budget,
+                cache_hit_count=c.cache_hit_count + (max_len - budget),
+            )
+            return score, c
+
+        def skip_fn(c: CacheState):
+            score = -eps_pred / stdc
+            c = c.replace(
+                err_acc=c.err_acc + mean_drift.astype(c.err_acc.dtype),
+                cached_steps=c.cached_steps + 1,
+                cache_hit_count=c.cache_hit_count + max_len,
+            )
+            return score, c
+
+        score, cache = jax.lax.switch(mode, [full_fn, topk_fn, skip_fn], cache)
+        score = maybe_fresca(score, t)
+        z = jax.random.normal(k_noise, x.shape, x.dtype)
+        x = scheduler.step(score, t, x, z, step_size)
+        cache = cache.replace(step=cache.step + 1)
+        return (x, k, cache), None
+
     def kv_level_body(carry, t):
         x, k, cache = carry
         k, k_noise, k_probe = jax.random.split(k, 3)
@@ -309,7 +447,12 @@ def _sample_chain(
         cache = cache.replace(step=cache.step + 1)
         return (x, k, cache), None
 
-    body = score_level_body if cache_cfg.level == "score" else kv_level_body
+    if cache_cfg.level == "score":
+        body = score_level_body
+    elif cache_cfg.level == "token":
+        body = token_level_body
+    else:
+        body = kv_level_body
     (x, _, cache_state), _ = jax.lax.scan(body, (x0, key, cache_state), ts)
     return x, cache_state
 
@@ -351,6 +494,15 @@ class DiffusionSampler:
         self.cache_config = (
             E2CRFConfig(**(cache_kwargs or {})) if use_cache else None
         )
+        if (
+            self.cache_config is not None
+            and self.cache_config.level == "token"
+            and not (1 <= self.cache_config.token_budget <= self.max_len)
+        ):
+            raise ValueError(
+                "level='token' needs 1 <= token_budget <= max_len "
+                f"(got {self.cache_config.token_budget}, max_len {self.max_len})"
+            )
         self.last_cache_state: Optional[CacheState] = None
 
         self.use_fresca = use_fresca
