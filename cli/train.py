@@ -57,14 +57,21 @@ class TrainingRunner:
             **{
                 k: v
                 for k, v in trainer_cfg.items()
-                if k in ("max_epochs", "gradient_clip_val", "log_every_n_steps", "use_mesh")
+                if k in (
+                    "max_epochs", "gradient_clip_val", "log_every_n_steps",
+                    "use_mesh", "accumulate_grad_batches",
+                )
             },
         )
 
         # Persist the config for cli/sample.py (reference cmd/train.py:40-43).
         save_config(cfg, self.trainer.run_dir / "train_config.yaml")
 
-        params = get_training_params(self.datamodule, self.trainer.max_epochs)
+        params = get_training_params(
+            self.datamodule,
+            self.trainer.max_epochs,
+            accumulate_grad_batches=self.trainer.accumulate_grad_batches,
+        )
         self.model = build_model(cfg, params, key=jax.random.PRNGKey(cfg["random_seed"]))
 
         # Fourier noise scaling requires frequency-domain data

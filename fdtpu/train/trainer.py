@@ -36,7 +36,12 @@ from fdtpu.diffusion.losses import sde_loss
 from fdtpu.dist.mesh import create_mesh, data_sharding, pad_to_multiple, replicate
 from fdtpu.models.score_models import ScoreModel, score_apply
 from fdtpu.train.checkpoint import save_checkpoint
-from fdtpu.train.state import TrainState, init_train_state, make_optimizer
+from fdtpu.train.state import (
+    TrainState,
+    init_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
 
 Array = jax.Array
 
@@ -61,9 +66,14 @@ class Trainer:
         use_mesh: bool = True,
         log_every_n_steps: int = 50,
         callbacks: Optional[list] = None,
+        accumulate_grad_batches: int = 1,
     ) -> None:
+        """``accumulate_grad_batches``: micro-batches per optimizer update
+        (Lightning semantics — the LR schedule advances once per accumulated
+        update; see reference extraction.py:12-17)."""
         self.max_epochs = max_epochs
         self.gradient_clip_val = gradient_clip_val
+        self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
         self.seed = seed
         self.use_mesh = use_mesh
         self.log_every_n_steps = log_every_n_steps
@@ -89,6 +99,10 @@ class Trainer:
             lr_max=model.lr_max,
             num_training_steps=model.num_training_steps,
             gradient_clip_val=self.gradient_clip_val,
+            accumulate_grad_batches=self.accumulate_grad_batches,
+        )
+        lr_schedule = make_lr_schedule(
+            lr_max=model.lr_max, num_training_steps=model.num_training_steps
         )
         state = init_train_state(model.variables["params"], tx)
 
@@ -147,9 +161,13 @@ class Trainer:
                 epoch_losses.append(loss)
                 global_step += 1
                 if global_step % self.log_every_n_steps == 0:
+                    # LR at the current *optimizer* step (LearningRateMonitor
+                    # analog, reference conf/trainer/callbacks/default.yaml:1).
+                    opt_step = global_step // self.accumulate_grad_batches
                     self._log(
                         {"step": global_step, "epoch": epoch,
-                         "train/loss": float(loss)}
+                         "train/loss": float(loss),
+                         "lr": float(lr_schedule(opt_step))}
                     )
 
             train_loss = float(jnp.mean(jnp.stack(epoch_losses)))
@@ -165,7 +183,8 @@ class Trainer:
             dt = time.time() - t0
             self._log(
                 {"step": global_step, "epoch": epoch, "train/loss_epoch": train_loss,
-                 "val/loss": val_loss, "epoch_time_s": round(dt, 2)}
+                 "val/loss": val_loss, "epoch_time_s": round(dt, 2),
+                 "lr": float(lr_schedule(global_step // self.accumulate_grad_batches))}
             )
             logging.info(
                 "epoch %d: train/loss %.5f val/loss %.5f (%.1fs)",

@@ -42,9 +42,6 @@ def measure(sampler, num_samples, steps, key, min_total_s=15.0, max_repeats=12):
     times = []
     while (len(times) < 3) or (sum(times) < min_total_s and len(times) < max_repeats):
         sampler.last_cache_state = None
-        if sampler.use_cache:
-            # force fresh cache state each run
-            pass
         t0 = time.time()
         out = sampler.sample(num_samples, steps, key=key)
         times.append(time.time() - t0)
@@ -64,6 +61,7 @@ def main() -> None:
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import bench
 
+    from fdtpu.metrics import SlicedWasserstein
     from fdtpu.sampling import DiffusionSampler
 
     model = bench.build_model(187, trained=args.trained, epochs=args.epochs)
@@ -75,6 +73,20 @@ def main() -> None:
     t_un = measure(uncached, batch, steps, jax.random.PRNGKey(1))
     results["uncached"] = {"time_s": t_un, "speedup": 1.0}
     print(f"uncached: {t_un:.2f}s", file=sys.stderr)
+
+    # Quality yardstick (trained models only): SW distance of each cached
+    # run to the uncached samples, vs the two-independent-uncached-runs
+    # noise floor (same protocol as bench.py).
+    sw = floor = None
+    if args.trained:
+        s_base = uncached.sample(batch, steps, key=jax.random.PRNGKey(1))
+        s_base2 = uncached.sample(batch, steps, key=jax.random.PRNGKey(99))
+        sw = SlicedWasserstein(
+            original_samples=s_base, random_seed=42, num_directions=200
+        )
+        floor = float(sw(s_base2)["sliced_wasserstein_mean"])
+        results["uncached"]["sw_noise_floor"] = floor
+        print(f"noise floor SW: {floor:.3f}", file=sys.stderr)
 
     def run(name, kwargs):
         s = DiffusionSampler(
@@ -91,10 +103,21 @@ def main() -> None:
             "skip_steps": stats.get("cached_steps"),
             "cache_hit_ratio": stats.get("cache_hit_ratio"),
         }
+        if sw is not None:
+            s.last_cache_state = None
+            samples = s.sample(batch, steps, key=jax.random.PRNGKey(1))
+            results[name]["sw_vs_uncached"] = float(
+                sw(samples)["sliced_wasserstein_mean"]
+            )
         print(
             f"{name}: {t:.2f}s  speedup {t_un / t:.2f}x  "
             f"(full {stats.get('full_steps')}, topk {stats.get('mixed_steps')}, "
-            f"skip {stats.get('cached_steps')})",
+            f"skip {stats.get('cached_steps')})"
+            + (
+                f"  SW {results[name]['sw_vs_uncached']:.3f} (floor {floor:.3f})"
+                if sw is not None
+                else ""
+            ),
             file=sys.stderr,
         )
 
@@ -106,6 +129,10 @@ def main() -> None:
     run(
         "token_b48_skip",
         {"level": "token", "token_budget": 48, "tau_0": 1.0, "R": 100},
+    )
+    run(
+        "token_b24_skip",
+        {"level": "token", "token_budget": 24, "tau_0": 0.5, "R": 100},
     )
     run("kv_event", {"level": "kv", "policy": "event", "K": 5, "R": 100})
     run("score_level", {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1})

@@ -6,7 +6,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from fdtpu.cache.e2crf import (
-    CacheState,
     E2CRFConfig,
     cache_stats,
     compute_event_intensity,

@@ -2,9 +2,8 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
-from fdtpu.data import DiffusionDataset, NumpyLoader, SyntheticDatamodule
+from fdtpu.data import DiffusionDataset, SyntheticDatamodule
 from fdtpu.ops import idft
 
 

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from fdtpu.dist import MeshConfig, create_mesh, data_sharding, replicate, shard_batch
+from fdtpu.dist import MeshConfig, create_mesh, replicate, shard_batch
 from fdtpu.dist.mesh import pad_to_multiple
 
 

@@ -2,7 +2,6 @@
 cache-path coverage the reference lacks — SURVEY.md §4 gaps)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 

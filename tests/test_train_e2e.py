@@ -3,7 +3,6 @@ train → scan sampler → Wasserstein within tolerance.  Also covers
 checkpointing round-trips and the data-parallel mesh path (8 virtual CPU
 devices from conftest)."""
 
-from functools import partial
 
 import jax
 import numpy as np

@@ -1,7 +1,6 @@
 """Visualization smoke tests (figures render and files are written)."""
 
 import numpy as np
-import pandas as pd
 import pytest
 import yaml
 
@@ -9,7 +8,6 @@ from fdtpu.viz import (
     plot_delocalization,
     plot_sample_heatmap,
     plot_sample_lines,
-    plot_sample_quality,
     plot_spectral_density,
     plot_temporal_energy,
     process_all_datasets,
