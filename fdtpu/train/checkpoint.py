@@ -107,6 +107,61 @@ def load_checkpoint(ckpt_dir: Path) -> ScoreModel:
     )
 
 
+def save_train_state(
+    run_dir: Path,
+    state: Any,
+    key: jax.Array,
+    epoch: int,
+    global_step: int,
+    best_val_loss: float,
+) -> Path:
+    """Mid-training resume snapshot: full TrainState (params + optimizer
+    state + step) and the trainer's PRNG key, overwritten each epoch.
+
+    Beyond the reference (its Lightning setup never resumes mid-training,
+    SURVEY.md §5.4) — this is the TPU-preemption story: restoring the
+    snapshot reproduces the uninterrupted run exactly (same data order,
+    same PRNG stream, same optimizer trajectory)."""
+    resume_dir = Path(run_dir) / "resume"
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            (resume_dir / "state").absolute(),
+            {"state": jax.device_get(state), "key": jax.device_get(key)},
+            force=True,
+        )
+    with open(resume_dir / "meta.json", "w") as f:
+        json.dump(
+            {
+                "epoch": epoch,
+                "global_step": global_step,
+                "best_val_loss": best_val_loss,
+            },
+            f,
+        )
+    return resume_dir
+
+
+def load_train_state(
+    run_dir: Path, state_template: Any, key_template: jax.Array
+) -> Optional[tuple[Any, jax.Array, dict[str, Any]]]:
+    """Restore a :func:`save_train_state` snapshot, or None if absent.
+
+    ``state_template``/``key_template``: concrete pytrees with the target
+    structure (a freshly initialized TrainState and PRNGKey)."""
+    resume_dir = Path(run_dir) / "resume"
+    if not (resume_dir / "meta.json").exists():
+        return None
+    with open(resume_dir / "meta.json") as f:
+        meta = json.load(f)
+    template = {
+        "state": jax.device_get(state_template),
+        "key": jax.device_get(key_template),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore((resume_dir / "state").absolute(), template)
+    return restored["state"], jax.numpy.asarray(restored["key"]), meta
+
+
 def get_best_checkpoint(checkpoint_path: Path) -> Path:
     """Lowest-val-loss checkpoint by filename (reference extraction.py:79-98)."""
     pattern = r"epoch=(\d+)-val_loss=(-?\d+\.\d+)\.ckpt"

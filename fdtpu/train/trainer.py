@@ -67,13 +67,22 @@ class Trainer:
         log_every_n_steps: int = 50,
         callbacks: Optional[list] = None,
         accumulate_grad_batches: int = 1,
+        resume: bool = False,
+        save_resume_state: bool = True,
     ) -> None:
         """``accumulate_grad_batches``: micro-batches per optimizer update
         (Lightning semantics — the LR schedule advances once per accumulated
-        update; see reference extraction.py:12-17)."""
+        update; see reference extraction.py:12-17).
+
+        ``resume``: restore the latest mid-training snapshot from
+        ``run_dir/resume`` (params + opt_state + PRNG key) and continue the
+        interrupted run exactly.  ``save_resume_state``: write that snapshot
+        at every epoch end."""
         self.max_epochs = max_epochs
         self.gradient_clip_val = gradient_clip_val
         self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
+        self.resume = resume
+        self.save_resume_state = save_resume_state
         self.seed = seed
         self.use_mesh = use_mesh
         self.log_every_n_steps = log_every_n_steps
@@ -105,6 +114,22 @@ class Trainer:
             lr_max=model.lr_max, num_training_steps=model.num_training_steps
         )
         state = init_train_state(model.variables["params"], tx)
+
+        start_epoch = 0
+        resumed_global_step = 0
+        if self.resume:
+            from fdtpu.train.checkpoint import load_train_state
+
+            restored = load_train_state(self.run_dir, state, key)
+            if restored is not None:
+                state, key, resume_meta = restored
+                start_epoch = int(resume_meta["epoch"]) + 1
+                resumed_global_step = int(resume_meta["global_step"])
+                self.best_val_loss = float(resume_meta["best_val_loss"])
+                logging.info(
+                    "resuming from epoch %d (global step %d)",
+                    start_epoch, resumed_global_step,
+                )
 
         mesh = create_mesh() if self.use_mesh else None
         n_shards = mesh.shape["data"] if mesh is not None else 1
@@ -149,8 +174,8 @@ class Trainer:
                 arr = jax.device_put(arr, data_sharding(mesh, arr.ndim))
             return arr, true_n
 
-        global_step = 0
-        for epoch in range(self.max_epochs):
+        global_step = resumed_global_step
+        for epoch in range(start_epoch, self.max_epochs):
             train_loader = datamodule.train_dataloader()
             epoch_losses = []
             t0 = time.time()
@@ -199,6 +224,14 @@ class Trainer:
                 }
                 self.best_checkpoint = save_checkpoint(
                     self.run_dir, model, epoch=epoch, val_loss=val_loss
+                )
+
+            if self.save_resume_state:
+                from fdtpu.train.checkpoint import save_train_state
+
+                save_train_state(
+                    self.run_dir, state, key, epoch=epoch,
+                    global_step=global_step, best_val_loss=self.best_val_loss,
                 )
 
             for callback in self.callbacks:
