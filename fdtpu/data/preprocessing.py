@@ -88,12 +88,29 @@ def _mimic_to_3d(df: pd.DataFrame) -> np.ndarray:
 
 
 def mimic_preprocess(data_dir: Path, random_seed: int, train_frac: float = 0.8) -> None:
-    """First-24h vitals/labs → (N, 24, 104) tensors (reference :83-180)."""
-    dataset_path = data_dir / "all_hourly_data.h5"
-    gap_time, window_size = 6, 24
+    """First-24h vitals/labs → (N, 24, 104) tensors (reference :83-180).
 
+    Reads the MIMIC-Extract ``all_hourly_data.h5`` (needs pytables); the
+    frame-level pipeline lives in :func:`mimic_preprocess_frames` so it can
+    be exercised on schema-accurate fixtures without an h5 reader."""
+    dataset_path = data_dir / "all_hourly_data.h5"
     statics = pd.read_hdf(dataset_path, "patients")
     df = pd.read_hdf(dataset_path, "vitals_labs")
+    mimic_preprocess_frames(statics, df, data_dir, random_seed, train_frac)
+
+
+def mimic_preprocess_frames(
+    statics: pd.DataFrame,
+    df: pd.DataFrame,
+    data_dir: Path,
+    random_seed: int,
+    train_frac: float = 0.8,
+    expected_features: int = 104,
+) -> None:
+    """MIMIC pipeline on already-loaded frames (reference :83-180):
+    cohort filter → subject split → train-stat standardize → impute →
+    (N, 24, C) tensors."""
+    gap_time, window_size = 6, 24
 
     ys = statics[statics.max_hours > window_size + gap_time][
         ["mort_hosp", "mort_icu", "los_icu"]
@@ -131,7 +148,7 @@ def mimic_preprocess(data_dir: Path, random_seed: int, train_frac: float = 0.8) 
     for d, name in ((lvl2_train, "train"), (lvl2_test, "test")):
         x = _mimic_to_3d(d.loc[:, pd.IndexSlice[:, "mean"]]).astype(np.float32)
         x = np.transpose(x, (0, 2, 1))  # (N, time, channel)
-        assert x.shape[1:] == (24, 104), x.shape
+        assert x.shape[1:] == (24, expected_features), x.shape
         np.save(data_dir / f"X_{name}.npy", x)
 
 

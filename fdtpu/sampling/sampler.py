@@ -367,16 +367,22 @@ def _sample_chain(
             return score, c
 
         def topk_fn(c: CacheState):
-            # Priority: energy-weighted drift, K low-frequency anchors always
-            # in (reference policy's first-2K refresh analog), random probes
-            # forced in below the anchors (quirk Q4's random_probe_ratio).
+            # Priority: ACCUMULATED predicted error per token — drift rate ×
+            # steps since that token's last recompute (weighted by spectral
+            # energy).  Using the rate alone starves low-rate tokens forever
+            # and their order-1 extrapolation diverges over long ages; the
+            # rate×age form spreads the budget so every token's staleness
+            # stays bounded.  K low-frequency anchors always in (reference
+            # policy's first-2K refresh analog), random probes forced in
+            # below the anchors (quirk Q4's random_probe_ratio).
+            acc_err = w_drift * (age + 1.0)
             low_bonus = jnp.where(idx_range < pp.K, 2e9, 0.0)
             probe = jnp.where(
                 jax.random.uniform(k_probe, (max_len,)) < pp.random_probe_ratio,
                 1e9,
                 0.0,
             )
-            _, idx = jax.lax.top_k(w_drift + low_bonus + probe, budget)
+            _, idx = jax.lax.top_k(acc_err + low_bonus + probe, budget)
 
             out_rows, kv_new = score_apply_topk(
                 variables, model_cfg, x, t_batch, (c.k, c.v), idx
