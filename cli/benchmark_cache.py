@@ -174,38 +174,36 @@ def main() -> None:
                 cache_kwargs={"level": "kv", "policy": "event", "K": k_val, "R": 10},
             )
             record(f"kv_K{k_val}", res, t_base)
+        # Token-level budget sweep (the fast per-token mechanism,
+        # docs/benchmarks/token_level.md).
+        for b_val in (16, 24, 48):
+            if b_val >= model.max_len:
+                continue
+            res = benchmark_sampling(
+                model, num_samples, steps, batch,
+                use_cache=True,
+                cache_kwargs={
+                    "level": "token", "token_budget": b_val,
+                    "tau_0": 0.0, "R": 100,
+                },
+            )
+            res["sw_vs_baseline"] = sw(res["_samples"])["sliced_wasserstein_mean"]
+            record(f"token_b{b_val}", res, t_base)
 
     df = pd.DataFrame(rows)
     csv_path = out_dir / "benchmark_results.csv"
     df.to_csv(csv_path, index=False)
     logging.info("Wrote %s", csv_path)
 
-    # --- figures (reference benchmark_cache.py:426-600)
+    # --- figures: all five reference families
+    # (reference benchmark_cache.py:462-598 → fdtpu.viz.benchmark_figures)
     try:
-        import matplotlib
+        from fdtpu.viz.benchmark_figures import create_benchmark_figures
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig, axes = plt.subplots(1, 2, figsize=(11, 4))
-        head = df[df["method"].isin([n for n, _ in headline] + ["baseline"])]
-        axes[0].bar(head["method"], head["samples_per_s"])
-        axes[0].set_ylabel("samples / s")
-        axes[0].tick_params(axis="x", rotation=30)
-        axes[0].set_title("Sampling throughput")
-        sweep = df[df["method"].str.startswith("score_R")]
-        if len(sweep):
-            axes[1].plot(
-                [int(m[len("score_R"):]) for m in sweep["method"]],
-                sweep["speedup"], "o-",
-            )
-            axes[1].set_xlabel("R (refresh interval)")
-            axes[1].set_ylabel("speedup vs baseline")
-            axes[1].set_title("Score-level E²-CRF sweep")
-        fig.tight_layout()
-        fig.savefig(out_dir / "benchmark_summary.pdf")
-        fig.savefig(out_dir / "benchmark_summary.png", dpi=150)
-        logging.info("Wrote figures to %s", out_dir)
+        written = create_benchmark_figures(
+            df, out_dir, model_id=str(cfg.get("model_id") or model_dir.name)
+        )
+        logging.info("Wrote %d figure families to %s", len(written), out_dir / "figures")
     except Exception as exc:  # pragma: no cover - plotting is best-effort
         logging.warning("Figure generation failed: %s", exc)
 
