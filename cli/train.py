@@ -125,11 +125,69 @@ class TrainingRunner:
             self.trainer.best_val_loss,
             self.trainer.run_dir / "checkpoints",
         )
+        self._maybe_cache_benchmark()
+
+    def _maybe_cache_benchmark(self) -> None:
+        """Post-training cached-vs-uncached timing on the fresh model
+        (reference cmd/conf/train_with_cache_benchmark.yaml flow)."""
+        cb = self.cfg.get("cache_benchmark") or {}
+        if not cb:
+            return
+        import json
+        import time
+
+        from fdtpu.sampling import DiffusionSampler
+
+        num_samples = int(cb.get("num_samples", 5))
+        steps = int(cb.get("num_diffusion_steps", 5))
+        batch = int(cb.get("sample_batch_size", num_samples))
+        results = {}
+        for name, kwargs in (
+            ("uncached", dict()),
+            (
+                "cached",
+                dict(
+                    use_cache=True,
+                    cache_kwargs=dict(cb.get("cache_kwargs") or {}),
+                    use_fresca=bool(cb.get("use_fresca", False)),
+                    **(cb.get("fresca_kwargs") or {}),
+                ),
+            ),
+        ):
+            sampler = DiffusionSampler(self.model, sample_batch_size=batch, **kwargs)
+            sampler.sample(num_samples, steps, key=jax.random.PRNGKey(0))  # compile
+            sampler.last_cache_state = None
+            t0 = time.time()
+            sampler.sample(num_samples, steps, key=jax.random.PRNGKey(1))
+            results[name] = {"time_s": time.time() - t0}
+            if kwargs.get("use_cache"):
+                results[name]["cache_stats"] = sampler.get_cache_stats()
+        results["speedup"] = results["uncached"]["time_s"] / results["cached"]["time_s"]
+        out = self.trainer.run_dir / "cache_benchmark.json"
+        out.write_text(json.dumps(results, indent=2))
+        logging.info(
+            "cache benchmark: %.2fx speedup (results in %s)",
+            results["speedup"], out,
+        )
 
 
 def main() -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s", force=True)
-    cfg = compose_config(CONFIG_DIR, "train", sys.argv[1:])
+    argv = sys.argv[1:]
+    config_name = "train"
+    filtered = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--config-name" and i + 1 < len(argv):
+            config_name = argv[i + 1]
+            i += 2
+        elif argv[i].startswith("--config-name="):
+            config_name = argv[i].split("=", 1)[1]
+            i += 1
+        else:
+            filtered.append(argv[i])
+            i += 1
+    cfg = compose_config(CONFIG_DIR, config_name, filtered)
     from fdtpu.utils.wandb import maybe_initialize_wandb
 
     run_id = maybe_initialize_wandb(cfg)
