@@ -39,13 +39,42 @@ CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
 
 ABLATIONS: list[tuple[str, dict]] = [
     ("baseline", {}),
+    # --- score level (full-step skipping; the speed headline)
     ("full_e2crf", dict(use_cache=True, cache_kwargs={"level": "score", "policy": "event", "R": 100, "tau_0": 1.0, "eps_order": 1})),
     ("no_extrapolation", dict(use_cache=True, cache_kwargs={"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 0})),
     ("no_event_trigger", dict(use_cache=True, cache_kwargs={"level": "score", "R": 10, "tau_0": 1e9})),
     ("no_error_feedback", dict(use_cache=True, cache_kwargs={"level": "score", "R": 999999, "tau_0": 1e9})),
-    ("no_energy_weighting", dict(use_cache=True, cache_kwargs={"level": "kv", "policy": "event", "R": 10, "energy_weighting": False})),
+    # --- token level (per-token top-k recompute; the mechanism headline,
+    #     docs/benchmarks/token_level.md) — each knob measurably moves
+    #     speed and/or quality.
+    ("token_full", dict(use_cache=True, cache_kwargs={"level": "token", "token_budget": 24, "tau_0": 0.5, "R": 100})),
+    ("token_no_skip", dict(use_cache=True, cache_kwargs={"level": "token", "token_budget": 24, "tau_0": 0.0, "R": 100})),
+    ("token_no_energy_weighting", dict(use_cache=True, cache_kwargs={"level": "token", "token_budget": 24, "tau_0": 0.0, "R": 100, "energy_weighting": False})),
+    ("token_no_extrapolation", dict(use_cache=True, cache_kwargs={"level": "token", "token_budget": 24, "tau_0": 0.0, "R": 100, "eps_order": 0})),
+    ("token_random_probe", dict(use_cache=True, cache_kwargs={"level": "token", "token_budget": 24, "tau_0": 0.0, "R": 100, "random_probe_ratio": 0.05})),
+    # --- KV level (reference's masked mechanism, kept for parity)
     ("naive_caching", dict(use_cache=True, cache_kwargs={"level": "kv", "policy": "macro"})),
 ]
+
+# KV-event τ₀ calibration sweep: find the operating point where the pure
+# KV event policy actually reaches CACHED steps (round-1 weakness: the
+# default τ₀=0.1 never skipped).  Two structural blockers must be off for a
+# CACHED step to be reachable at all: K=0 (the K low-frequency anchors force
+# MIXED every step) and τ_warn=∞ (mean CRF drift is unnormalized and
+# exceeds the 0.5 default on any trained model).  CRF drift is an
+# unnormalized L2 over d_model, so the τ₀ scale is model-dependent —
+# sweep log-spaced.
+KV_TAU_SWEEP = (1.0, 10.0, 100.0, 1000.0)
+
+
+def kv_event_arm(tau: float) -> dict:
+    return dict(
+        use_cache=True,
+        cache_kwargs={
+            "level": "kv", "policy": "event", "K": 0, "R": 100,
+            "tau_0": tau, "tau_warn": 1e9,
+        },
+    )
 
 
 def main() -> None:
@@ -64,7 +93,14 @@ def main() -> None:
     results: dict[str, dict] = {}
     baseline_time = None
     baseline_samples = None
-    for name, kw in ABLATIONS:
+    arms = list(ABLATIONS) + [
+        (f"kv_event_tau{tau:g}", kv_event_arm(tau)) for tau in KV_TAU_SWEEP
+    ]
+    for name, kw in arms:
+        budget = (kw.get("cache_kwargs") or {}).get("token_budget")
+        if budget is not None and budget >= model.max_len:
+            logging.info("skipping %s: token_budget %s >= max_len %s", name, budget, model.max_len)
+            continue
         sampler = DiffusionSampler(model, sample_batch_size=batch, **kw)
         sampler.sample(min(batch, num_samples), steps, key=jax.random.PRNGKey(0))
         times = []
@@ -98,6 +134,27 @@ def main() -> None:
     with open(out_dir / "ablation_results.json", "w") as f:
         json.dump(results, f, indent=2)
     logging.info("Wrote %s", out_dir / "ablation_results.json")
+
+    # Tidy sweep CSV (paper Tables 3/4 shape).
+    import pandas as pd
+
+    rows = []
+    for name, entry in results.items():
+        stats = entry.get("cache_stats", {})
+        rows.append(
+            {
+                "config": name,
+                "time_s": entry["time_s"],
+                "speedup": entry.get("speedup", 1.0),
+                "sw_vs_baseline": entry.get("sw_vs_baseline"),
+                "steps_skipped_ratio": stats.get("steps_skipped_ratio", 0.0),
+                "cache_hit_ratio": stats.get("cache_hit_ratio", 0.0),
+                "full_steps": stats.get("full_steps"),
+                "topk_steps": stats.get("mixed_steps"),
+            }
+        )
+    pd.DataFrame(rows).to_csv(out_dir / "ablation_sweep.csv", index=False)
+    logging.info("Wrote %s", out_dir / "ablation_sweep.csv")
 
     # Summary table (reference ablation_cache.py:221-247).
     print(f"\n{'config':<24}{'time (s)':>10}{'speedup':>10}{'skipped':>10}{'SW':>12}")
