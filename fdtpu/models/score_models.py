@@ -489,6 +489,11 @@ def score_apply_cached(
             return _transformer_backbone(
                 params, cfg, hh, train=False, dropout_key=None,
                 kv_cache=kv, recompute_mask=mask, mode=mode_static,
+                # The fused blockdiag kernel only implements the standard
+                # full-attention forward; cached/mixed branches stay einsum.
+                attention_impl=(
+                    cfg.attention_impl if mode_static == MODE_FULL else "einsum"
+                ),
             )
         return fn
 

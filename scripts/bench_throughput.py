@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Uncached single-chip throughput experiments (VERDICT round-1 weak #3).
+
+Measures the flagship's uncached sampling throughput (batch 128) across:
+
+* attention_impl ∈ {einsum, blockdiag} × compute_dtype ∈ {float32, bfloat16}
+* a lane-aligned d_model=128 / head_dim=8 variant (more params, but every
+  matmul dimension is a multiple of the 128-lane MXU width) — context for
+  whether d72/head_dim-6 misalignment is what bounds the d72 flagship.
+
+Writes docs/benchmarks/throughput.json.
+
+Usage: python scripts/bench_throughput.py [--steps 500] [--batch 128]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+
+import jax
+
+if os.environ.get("FDTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FDTPU_PLATFORM"])
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fdtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import numpy as np
+
+from fdtpu.diffusion import VPScheduler
+from fdtpu.models import ScoreModelConfig, init_score_model
+from fdtpu.models.score_models import ScoreModel
+from fdtpu.sampling import DiffusionSampler
+
+
+def measure(sampler, n, steps, min_total_s=12.0, max_repeats=10):
+    sampler.sample(n, steps, key=jax.random.PRNGKey(0))  # compile
+    times = []
+    while len(times) < 3 or (sum(times) < min_total_s and len(times) < max_repeats):
+        t0 = time.time()
+        out = sampler.sample(n, steps, key=jax.random.PRNGKey(1))
+        times.append(time.time() - t0)
+    assert np.isfinite(out).all()
+    t = float(np.median(times))
+    return t, out.shape[0] / t
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--max-len", type=int, default=187)
+    args = parser.parse_args()
+
+    variants = [
+        ("einsum_fp32", dict(attention_impl="einsum", compute_dtype="float32")),
+        ("blockdiag_fp32", dict(attention_impl="blockdiag", compute_dtype="float32")),
+        ("einsum_bf16", dict(attention_impl="einsum", compute_dtype="bfloat16")),
+        ("blockdiag_bf16", dict(attention_impl="blockdiag", compute_dtype="bfloat16")),
+    ]
+    results: dict[str, dict] = {}
+
+    scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(
+        args.max_len
+    )
+    base_variables = None
+    for name, overrides in variants:
+        cfg = ScoreModelConfig(n_channels=1, max_len=args.max_len, **overrides)
+        if base_variables is None:
+            base_variables = init_score_model(jax.random.PRNGKey(0), cfg)
+        model = ScoreModel(
+            config=cfg, variables=base_variables, scheduler=scheduler
+        )
+        sampler = DiffusionSampler(model, sample_batch_size=args.batch)
+        t, sps = measure(sampler, args.batch, args.steps)
+        results[name] = {"time_s": t, "samples_per_s_chip": sps}
+        print(f"{name:<18} {t:7.2f}s  {sps:7.1f} samples/s/chip", file=sys.stderr)
+
+    # Lane-aligned reference: d128/H16 (dh=8) — 2.4x the FLOPs of d72 in
+    # attention projections and 1.78x in the FFN contraction, but every
+    # dimension tiles cleanly onto the 128-lane MXU.
+    cfg128 = ScoreModelConfig(
+        n_channels=1, max_len=args.max_len, d_model=128, n_head=16,
+        attention_impl="einsum", compute_dtype="float32",
+    )
+    model128 = ScoreModel(
+        config=cfg128,
+        variables=init_score_model(jax.random.PRNGKey(0), cfg128),
+        scheduler=scheduler,
+    )
+    t, sps = measure(
+        DiffusionSampler(model128, sample_batch_size=args.batch),
+        args.batch, args.steps,
+    )
+    results["d128_h16_fp32"] = {"time_s": t, "samples_per_s_chip": sps}
+    print(f"{'d128_h16_fp32':<18} {t:7.2f}s  {sps:7.1f} samples/s/chip",
+          file=sys.stderr)
+
+    out = Path(__file__).resolve().parent.parent / "docs/benchmarks/throughput.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "config": {
+            "batch": args.batch, "steps": args.steps, "max_len": args.max_len,
+            "model": "flagship d72/L10/H12 (+ d128/H16 reference)",
+        },
+        "results": results,
+    }
+    out.write_text(json.dumps(payload, indent=2))
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()
