@@ -140,9 +140,14 @@ def main() -> None:
     stats = cached.get_cache_stats()
 
     quality = ""
+    mw_delta = None
     if not args.quick:
+        from fdtpu.metrics import MarginalWasserstein
+
         # Quality at the measured skip rate: SW(cached, uncached) vs the
-        # noise floor SW(uncached, uncached') from an independent key.
+        # noise floor SW(uncached, uncached') from an independent key, plus
+        # the per-feature marginal-Wasserstein delta |MW(cached) − MW(floor)|
+        # — the BASELINE.json gate's metric.
         s_base = uncached.sample(num_samples, steps, key=jax.random.PRNGKey(1))
         s_base2 = uncached.sample(num_samples, steps, key=jax.random.PRNGKey(99))
         cached.last_cache_state = None
@@ -152,7 +157,14 @@ def main() -> None:
         )
         floor = sw(s_base2)["sliced_wasserstein_mean"]
         delta = sw(s_ca)["sliced_wasserstein_mean"]
-        quality = f" | SW(cached,uncached) {delta:.2f} vs noise floor {floor:.2f}"
+        mw = MarginalWasserstein(original_samples=s_base, random_seed=42)
+        mw_floor = mw(s_base2)["marginal_wasserstein_mean"]
+        mw_cached = mw(s_ca)["marginal_wasserstein_mean"]
+        mw_delta = abs(mw_cached - mw_floor)
+        quality = (
+            f" | SW(cached,uncached) {delta:.2f} vs noise floor {floor:.2f}"
+            f" | MW delta vs floor {mw_delta:.4f}"
+        )
 
     speedup = t_un / t_ca
     print(
@@ -160,19 +172,20 @@ def main() -> None:
         f"| skipped {100 * stats['steps_skipped_ratio']:.0f}% of {steps} steps{quality}",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "e2crf_sampling_speedup",
-                "value": round(speedup, 3),
-                "unit": (
-                    f"x vs uncached compiled sampler (T={steps}, batch={batch}, "
-                    f"3.2M-param flagship, 1 chip; quality within noise floor)"
-                ),
-                "vs_baseline": round(speedup / REFERENCE_AVG_SPEEDUP, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "e2crf_sampling_speedup",
+        "value": round(speedup, 3),
+        "unit": (
+            f"x vs uncached compiled sampler (T={steps}, batch={batch}, "
+            f"3.2M-param flagship, 1 chip; quality within noise floor)"
+        ),
+        "vs_baseline": round(speedup / REFERENCE_AVG_SPEEDUP, 3),
+    }
+    if mw_delta is not None:
+        # BASELINE.json quality gate: marginal-Wasserstein delta of the
+        # cached run vs the independent-uncached-run floor.
+        record["mw_delta"] = round(float(mw_delta), 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
