@@ -362,11 +362,16 @@ def token_policy(
     * FULL — error-feedback refresh: cold start, the calibration step right
       after it (per-token drift rates unknown), or the hard interval R
       expired (reference README error-feedback description, paper Eq. 17).
-    * SKIP — the accumulated unattended-drift budget plus this step's
-      predicted drift stays under τ₀: reuse every token's extrapolated ε̂
-      and skip the network entirely.
+    * SKIP — the state-derived error budget stays under τ₀: reuse every
+      token's extrapolated ε̂ and skip the network entirely.  The budget is
+      ``mean(drift_rate × age × energy_w)`` — each token's predicted
+      accumulated extrapolation error since ITS last recompute — so a TOPK
+      step actively drains it (recomputed tokens reset to age 0), and long
+      skip-heavy stretches need only cheap TOPK refreshes rather than full
+      network passes.
     * TOPK — otherwise: recompute the ``token_budget`` highest-priority
-      tokens (energy-weighted drift, K low-frequency anchors, random probes).
+      tokens (energy-weighted accumulated error, K low-frequency anchors,
+      random probes).
     """
     max_len = x.shape[1]
     if cfg.energy_weighting:
@@ -379,11 +384,15 @@ def token_policy(
 
     w_drift = state.delta_tok.astype(jnp.float32) * energy_w
     mean_drift = jnp.mean(w_drift)
+    # Predicted accumulated error if we skip this step: each token's rate ×
+    # (its age + 1), energy-weighted.
+    age_next = (state.step - state.last_tok + 1).astype(jnp.float32)
+    predicted_err = jnp.mean(w_drift * age_next)
 
     since_full = state.step - state.last_full_step
     is_calibration = (since_full == 1) & (jnp.sum(state.delta_tok) == 0)
     full = state.cold | is_calibration | (since_full >= pp.R)
-    skip = (~full) & ((state.err_acc + mean_drift) <= pp.tau_0)
+    skip = (~full) & (predicted_err <= pp.tau_0)
     mode = jnp.where(
         full, TOKEN_FULL, jnp.where(skip, TOKEN_SKIP, TOKEN_TOPK)
     ).astype(jnp.int32)

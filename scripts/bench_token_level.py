@@ -134,6 +134,14 @@ def main() -> None:
         "token_b24_skip",
         {"level": "token", "token_budget": 24, "tau_0": 0.5, "R": 100},
     )
+    # Hybrid operating points: the state-derived budget lets TOPK steps
+    # drain the error estimate, so long skip stretches need only cheap
+    # token refreshes — full passes only every R=250 as a safety net.
+    for tau in (0.3, 1.0, 3.0):
+        run(
+            f"hybrid_b24_tau{tau:g}",
+            {"level": "token", "token_budget": 24, "tau_0": tau, "R": 250},
+        )
     run("kv_event", {"level": "kv", "policy": "event", "K": 5, "R": 100})
     run("score_level", {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1})
 
