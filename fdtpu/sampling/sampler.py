@@ -66,7 +66,12 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
 
     rep = P()
     kv_spec = P(None, "data", None, None, None) if state.k.ndim > 1 else rep
-    eps_spec = P("data", None, None) if state.eps_hat.ndim > 1 else rep
+
+    def eps_spec_for(a):
+        # Zero-size placeholders (e.g. eps_prev2 outside the score level)
+        # stay replicated.
+        return P("data", None, None) if a.ndim > 1 else rep
+
     replicated = {
         f: put(getattr(state, f), rep)
         for f in (
@@ -80,9 +85,9 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
     return state.replace(
         k=put(state.k, kv_spec),
         v=put(state.v, kv_spec),
-        eps_hat=put(state.eps_hat, eps_spec),
-        eps_prev=put(state.eps_prev, eps_spec),
-        eps_prev2=put(state.eps_prev2, eps_spec),
+        eps_hat=put(state.eps_hat, eps_spec_for(state.eps_hat)),
+        eps_prev=put(state.eps_prev, eps_spec_for(state.eps_prev)),
+        eps_prev2=put(state.eps_prev2, eps_spec_for(state.eps_prev2)),
         **replicated,
     )
 
