@@ -4,7 +4,6 @@ summary tables — reference results.py:24-491), the dataset batch processing
 (reference spectral_interpretation.py:34-209, 321-357), and the five
 benchmark figure families (reference cmd/benchmark_cache.py:462-598)."""
 
-import tempfile
 from pathlib import Path
 
 import numpy as np
