@@ -99,6 +99,7 @@ def resolve_model_dir(model_path: Path | str, model_id: str) -> Path:
     """Resolve a run directory; ``latest`` picks the newest run containing a
     train_config.yaml (reference benchmark_cache.py:126-137)."""
     model_path = Path(model_path)
+    model_id = str(model_id)
     if model_id != "latest":
         model_dir = model_path / model_id
         if not (model_dir / "train_config.yaml").exists():

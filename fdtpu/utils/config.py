@@ -35,7 +35,13 @@ def _load_yaml(path: Path) -> dict[str, Any]:
 
 
 def _parse_value(raw: str) -> Any:
-    return yaml.safe_load(raw)
+    value = yaml.safe_load(raw)
+    # YAML 1.1 reads digit groups with underscores ("20260816_201855", a
+    # timestamp run id) as ints with the underscores stripped; keep the
+    # original string in that case.
+    if isinstance(value, (int, float)) and "_" in raw:
+        return raw
+    return value
 
 
 def _step(node: Any, k: str) -> Any:

@@ -95,3 +95,10 @@ def test_flatten_and_str():
     flat = flatten_config(cfg)
     assert "d_model" in flat
     assert isinstance(dict_to_str(flat), str)
+
+
+def test_timestamp_run_id_override_stays_string():
+    # YAML 1.1 would read "20260816_201855" as int 20260816201855 (underscore
+    # stripped) — run-id overrides must survive verbatim.
+    cfg = compose_config(CONFIG_DIR, "sample", ["model_id=20260816_201855"])
+    assert cfg["model_id"] == "20260816_201855"
