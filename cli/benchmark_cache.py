@@ -103,7 +103,10 @@ def main() -> None:
     model_dir = resolve_model_dir(cfg["model_path"], cfg["model_id"])
     ckpt = get_best_checkpoint(model_dir / "checkpoints")
     logging.info("Benchmarking checkpoint %s", ckpt)
-    model = load_checkpoint(ckpt)
+    model = load_checkpoint(
+        ckpt,
+        **({"attention_impl": cfg["attention_impl"]} if cfg.get("attention_impl") else {}),
+    )
 
     num_samples = int(cfg["num_samples"])
     steps = int(cfg["num_diffusion_steps"])

@@ -53,7 +53,15 @@ class SamplingRunner:
 
         ckpt = get_best_checkpoint(self.model_dir / "checkpoints")
         logging.info("Loading checkpoint %s", ckpt)
-        self.model = load_checkpoint(ckpt)
+        # attention_impl is a hardware choice, not part of the weights:
+        # `attention_impl=auto` picks the fused kernel on TPU regardless of
+        # what the training run recorded.
+        overrides = (
+            {"attention_impl": cfg["attention_impl"]}
+            if cfg.get("attention_impl")
+            else {}
+        )
+        self.model = load_checkpoint(ckpt, **overrides)
 
         sampler_cfg = dict(cfg["sampler"])
         sampler_cfg.pop("name", None)

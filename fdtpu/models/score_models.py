@@ -193,6 +193,17 @@ def param_count(variables: dict[str, Params]) -> int:
 
 
 # ----------------------------------------------------------------- backbones
+def resolve_attention_impl(impl: str) -> str:
+    """Resolve ``"auto"`` at trace time: the fused Pallas block-diagonal
+    kernel on accelerators, XLA einsum on CPU (no Pallas backend there).
+    The choice is a hardware property, not part of the trained model — a
+    checkpoint trained with ``auto`` picks the right kernel wherever it is
+    later loaded."""
+    if impl == "auto":
+        return "einsum" if jax.default_backend() == "cpu" else "blockdiag"
+    return impl
+
+
 def _transformer_backbone(
     params: Params,
     cfg: ScoreModelConfig,
@@ -211,6 +222,7 @@ def _transformer_backbone(
     (reference stores h[0].detach() per layer, score_models.py:183-190).
     """
     num_layers = cfg.num_layers
+    attention_impl = resolve_attention_impl(attention_impl)
     if dropout_key is not None:
         layer_keys = jax.random.split(dropout_key, num_layers)
     else:

@@ -78,11 +78,15 @@ def save_checkpoint(
     return ckpt_dir
 
 
-def load_checkpoint(ckpt_dir: Path) -> ScoreModel:
+def load_checkpoint(ckpt_dir: Path, **config_overrides: Any) -> ScoreModel:
+    """Restore a checkpoint; ``config_overrides`` replace ScoreModelConfig
+    fields that are runtime choices rather than part of the weights (e.g.
+    ``attention_impl="auto"`` to pick the fused kernel on the current
+    hardware, or ``compute_dtype``)."""
     ckpt_dir = Path(ckpt_dir)
     with open(ckpt_dir / "meta.json") as f:
         meta = json.load(f)
-    config = ScoreModelConfig(**meta["model_config"])
+    config = ScoreModelConfig(**{**meta["model_config"], **config_overrides})
 
     # Restore with a concrete target so dtypes/shapes are validated.
     from fdtpu.models.score_models import init_score_model

@@ -76,6 +76,24 @@ def test_checkpoint_roundtrip(trained):
     assert restored.scheduler.fourier_noise_scaling == model.scheduler.fourier_noise_scaling
     np.testing.assert_allclose(restored.scheduler.G, model.scheduler.G)
 
+    # Runtime config fields (kernel choice, compute dtype) can be replaced at
+    # load time without touching the weights.
+    patched = load_checkpoint(ckpt, attention_impl="auto")
+    assert patched.config.attention_impl == "auto"
+    assert patched.config.d_model == model.config.d_model
+    import jax.numpy as jnp
+
+    from fdtpu.models import score_apply
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, model.config.max_len, 1))
+    t = jnp.full((2,), 0.5)
+
+    np.testing.assert_allclose(
+        score_apply(patched.variables, patched.config, x, t),
+        score_apply(model.variables, model.config, x, t),
+        atol=1e-5,
+    )
+
 
 def test_sampling_quality_after_training(trained):
     """Generated samples must beat the mean-only dummy baseline on sliced W₂."""
