@@ -221,7 +221,7 @@ def test_mimic_frames_pipeline_fixture():
     assert x_test.shape[1:] == (24, 12)
     assert np.isfinite(x_train).all() and np.isfinite(x_test).all()
 
-    root = d.parent / "mroot"
+    root = d / "mroot"
     (root / "mimiciii").mkdir(parents=True)
     import shutil
     for f in ("X_train.npy", "X_test.npy"):
