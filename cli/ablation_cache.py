@@ -39,6 +39,10 @@ CONFIG_DIR = Path(__file__).resolve().parents[1] / "configs"
 
 ABLATIONS: list[tuple[str, dict]] = [
     ("baseline", {}),
+    # Uncached rerun with a different PRNG key: its SW vs the baseline
+    # samples is the finite-sample noise floor every other SW column entry
+    # should be read against.
+    ("baseline_rerun_floor", {"_sample_seed": 4242}),
     # --- score level (full-step skipping; the speed headline)
     ("full_e2crf", dict(use_cache=True, cache_kwargs={"level": "score", "policy": "event", "R": 100, "tau_0": 1.0, "eps_order": 1})),
     ("no_extrapolation", dict(use_cache=True, cache_kwargs={"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 0})),
@@ -100,6 +104,8 @@ def main() -> None:
         (f"kv_event_tau{tau:g}", kv_event_arm(tau)) for tau in KV_TAU_SWEEP
     ]
     for name, kw in arms:
+        kw = dict(kw)
+        sample_seed = kw.pop("_sample_seed", 42)
         budget = (kw.get("cache_kwargs") or {}).get("token_budget")
         if budget is not None and budget >= model.max_len:
             logging.info("skipping %s: token_budget %s >= max_len %s", name, budget, model.max_len)
@@ -110,7 +116,7 @@ def main() -> None:
         for _ in range(3):  # median: tunnel timings vary up to 2x per run
             sampler.last_cache_state = None
             t0 = time.time()
-            samples = sampler.sample(num_samples, steps, key=jax.random.PRNGKey(42))
+            samples = sampler.sample(num_samples, steps, key=jax.random.PRNGKey(sample_seed))
             times.append(time.time() - t0)
         import numpy as _np
         elapsed = float(_np.median(times))
