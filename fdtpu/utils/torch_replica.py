@@ -74,6 +74,52 @@ def build_torch_score_net(
     return TorchScoreNet()
 
 
+def load_fdtpu_variables(net, variables) -> None:
+    """Load trained fdtpu transformer score-model variables into the replica,
+    in place — the inverse of
+    ``fdtpu.utils.torch_migration.convert_torch_state_dict`` keyed to this
+    replica's own module names.
+
+    Enables same-weights head-to-head runs: the fdtpu-trained flagship and
+    the torch replica then differ only in framework numerics, which is the
+    comparison the BASELINE quality gate (≤1e-3 marginal-Wasserstein delta)
+    is actually about.
+    """
+    torch = _require_torch()
+    p, c = variables["params"], variables["constants"]
+
+    def t(x):
+        return torch.tensor(np.asarray(x, dtype=np.float32))
+
+    sd = {
+        "embedder.weight": t(p["embedder"]["w"]).T.contiguous(),
+        "embedder.bias": t(p["embedder"]["b"]),
+        "pos_embedding.weight": t(p["pos_encoder"]["embedding"]),
+        "W": t(c["time_encoder"]["W"]),
+        "dense.weight": t(p["time_encoder"]["dense_w"]).T.contiguous(),
+        "dense.bias": t(p["time_encoder"]["dense_b"]),
+        "unembedder.weight": t(p["unembedder"]["w"]).T.contiguous(),
+        "unembedder.bias": t(p["unembedder"]["b"]),
+    }
+    bb = p["backbone"]
+    num_layers = bb["attn"]["in_proj_w"].shape[0]
+    for i in range(num_layers):
+        pre = f"backbone.layers.{i}."
+        sd[pre + "self_attn.in_proj_weight"] = t(bb["attn"]["in_proj_w"][i]).T.contiguous()
+        sd[pre + "self_attn.in_proj_bias"] = t(bb["attn"]["in_proj_b"][i])
+        sd[pre + "self_attn.out_proj.weight"] = t(bb["attn"]["out_w"][i]).T.contiguous()
+        sd[pre + "self_attn.out_proj.bias"] = t(bb["attn"]["out_b"][i])
+        sd[pre + "linear1.weight"] = t(bb["linear1"]["w"][i]).T.contiguous()
+        sd[pre + "linear1.bias"] = t(bb["linear1"]["b"][i])
+        sd[pre + "linear2.weight"] = t(bb["linear2"]["w"][i]).T.contiguous()
+        sd[pre + "linear2.bias"] = t(bb["linear2"]["b"][i])
+        sd[pre + "norm1.weight"] = t(bb["ln1"]["scale"][i])
+        sd[pre + "norm1.bias"] = t(bb["ln1"]["bias"][i])
+        sd[pre + "norm2.weight"] = t(bb["ln2"]["scale"][i])
+        sd[pre + "norm2.bias"] = t(bb["ln2"]["bias"][i])
+    net.load_state_dict(sd)
+
+
 def torch_noise_scaling(max_len: int, fourier: bool):
     """Diagonal G (reference sde.py:42-58): 1/√2 everywhere except DC and
     (even length) Nyquist."""
@@ -176,9 +222,17 @@ def torch_sample(
     beta_min: float = 0.1,
     beta_max: float = 20.0,
     seed: int = 0,
+    prior_noise: np.ndarray | None = None,
+    step_noise: np.ndarray | None = None,
 ) -> np.ndarray:
     """Eager reverse Euler–Maruyama loop (reference sampler.py:105-215,
-    sde.py:215-246): x ← x − drift·Δt + √Δt·diag(√β·G)·z."""
+    sde.py:215-246): x ← x − drift·Δt + √Δt·diag(√β·G)·z.
+
+    ``prior_noise`` ``(num_samples, T, C)`` and ``step_noise``
+    ``(num_steps, num_samples, T, C)`` inject externally drawn z's so a
+    trajectory can be replayed noise-for-noise against the fdtpu sampler
+    (same-weights parity runs).
+    """
     torch = _require_torch()
     torch.manual_seed(seed)
     g = torch_noise_scaling(max_len, fourier_scaling)
@@ -187,18 +241,27 @@ def torch_sample(
 
     out = []
     with torch.no_grad():
-        remaining = num_samples
-        while remaining > 0:
-            b = min(batch_size, remaining)
-            remaining -= b
-            x = g[None, :, None] * torch.randn(b, max_len, n_channels)
-            for t in ts:
+        done = 0
+        while done < num_samples:
+            b = min(batch_size, num_samples - done)
+            if prior_noise is not None:
+                z0 = torch.tensor(prior_noise[done : done + b], dtype=torch.float32)
+            else:
+                z0 = torch.randn(b, max_len, n_channels)
+            x = g[None, :, None] * z0
+            for i, t in enumerate(ts):
                 t_b = torch.full((b,), float(t))
                 score = model(x, t_b)
                 beta = beta_min + float(t) * (beta_max - beta_min)
                 diffusion = math.sqrt(beta) * g  # (T,)
                 drift = -0.5 * beta * x - (diffusion**2)[None, :, None] * score
-                z = torch.randn_like(x)
+                if step_noise is not None:
+                    z = torch.tensor(
+                        step_noise[i, done : done + b], dtype=torch.float32
+                    )
+                else:
+                    z = torch.randn_like(x)
                 x = x - drift * dt + math.sqrt(dt) * diffusion[None, :, None] * z
             out.append(x.numpy())
+            done += b
     return np.concatenate(out, axis=0)

