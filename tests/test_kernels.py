@@ -72,6 +72,26 @@ def test_blockdiag_kernel_matches_reference_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_blockdiag_kernel_query_tiled_regime_interpret():
+    """Long-sequence regime: the per-batch score tensor exceeds the 12MB
+    VMEM budget, so the kernel must tile query rows (grid (B, T/tq)) and
+    still match XLA.  batch_vmem(1) = 4·T·H·T_pad = 16.8MB > 12MB here."""
+    from fdtpu.kernels.blockdiag_attention import (
+        blockdiag_mha,
+        blockdiag_mha_reference,
+    )
+
+    B, T, H, Dh = 2, 1024, 4, 8
+    t_pad = 1024
+    assert 4 * (T * H * t_pad) > 12 * 1024 * 1024  # forces the tiled path
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H * Dh))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, Dh, T))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, Dh))
+    out = blockdiag_mha(q, k, v, q_tile=256, interpret=True)
+    ref = blockdiag_mha_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_blockdiag_model_forward_matches_einsum():
     import dataclasses
 
