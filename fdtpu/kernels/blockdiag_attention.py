@@ -143,14 +143,17 @@ def blockdiag_mha(
     h, dh = k.shape[1], k.shape[2]
     t_pad = _round_up(t, 128)
     budget = 12 * 1024 * 1024
-    pack_bytes = 4 * 2 * d * h * t_pad
+    # The block-diagonal packs live in scratch at the INPUT dtype (bf16
+    # halves their footprint); scores/weights are always fp32.
+    isz = jnp.dtype(q.dtype).itemsize
+    pack_bytes = isz * 2 * d * h * t_pad
 
     def batch_vmem(bt_: int) -> int:
-        return 4 * (bt_ * t * h * t_pad) + pack_bytes + 4 * 4 * bt_ * t * d
+        return 4 * (bt_ * t * h * t_pad) + pack_bytes + isz * 4 * bt_ * t * d
 
     scratch = [
-        pltpu.VMEM((d, h * t_pad), jnp.float32),
-        pltpu.VMEM((h * t_pad, d), jnp.float32),
+        pltpu.VMEM((d, h * t_pad), q.dtype),
+        pltpu.VMEM((h * t_pad, d), q.dtype),
     ]
     common = dict(n_head=h, head_dim=dh, seq=t, t_pad=t_pad,
                   scale=1.0 / math.sqrt(dh))
@@ -179,7 +182,7 @@ def blockdiag_mha(
     tq = min(q_tile, t_pad)
 
     def tiled_vmem(tq_: int) -> int:
-        return 4 * (tq_ * h * t_pad) + pack_bytes + 4 * (2 * tq_ * d + 2 * h * dh * t)
+        return 4 * (tq_ * h * t_pad) + pack_bytes + isz * (2 * tq_ * d + 2 * h * dh * t)
 
     while tq > 128 and tiled_vmem(tq) > budget:
         tq //= 2

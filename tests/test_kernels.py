@@ -92,6 +92,30 @@ def test_blockdiag_kernel_query_tiled_regime_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
+def test_blockdiag_kernel_bf16_inputs():
+    """bf16 inputs must work (scratch packs follow the input dtype) with
+    fp32 softmax/accumulation inside — checked against the fp32 reference
+    at bf16 tolerance."""
+    from fdtpu.kernels.blockdiag_attention import (
+        blockdiag_mha,
+        blockdiag_mha_reference,
+    )
+
+    B, T, H, Dh = 2, 20, 3, 6
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H * Dh))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, Dh, T))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, Dh))
+    out = blockdiag_mha(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        interpret=True,
+    )
+    assert out.dtype == jnp.bfloat16
+    ref = blockdiag_mha_reference(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref), atol=5e-2
+    )
+
+
 def test_blockdiag_model_forward_matches_einsum():
     import dataclasses
 
