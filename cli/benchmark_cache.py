@@ -140,16 +140,28 @@ def main() -> None:
     base2["sw_vs_baseline"] = sw(base2["_samples"])["sliced_wasserstein_mean"]
     record("baseline_self(noise floor)", base2, t_base)
 
+    # The score/token arms use the quality-validated operating points
+    # (bench.py CACHE_KWARGS / docs/benchmarks/token_level.md), not the
+    # most conservative settings — the sweeps below cover the rest.
+    score_kwargs = {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1}
     headline = [
-        ("e2crf_score", dict(use_cache=True, cache_kwargs={"level": "score", "R": 10, "tau_0": 0.05})),
+        ("e2crf_score", dict(use_cache=True, cache_kwargs=dict(score_kwargs))),
+        ("e2crf_token", dict(use_cache=True, cache_kwargs={
+            "level": "token", "token_budget": 24, "tau_0": 0.5, "R": 100,
+        })),
         ("e2crf_kv_event", dict(use_cache=True, cache_kwargs={"level": "kv", "policy": "event", "K": 5, "R": 10})),
         ("e2crf_kv_macro", dict(use_cache=True, cache_kwargs={"level": "kv", "policy": "macro", "K": 5, "R": 10})),
         ("e2crf_score_fresca", dict(
-            use_cache=True, cache_kwargs={"level": "score", "R": 10, "tau_0": 0.05},
+            use_cache=True, cache_kwargs=dict(score_kwargs),
             use_fresca=True, fresca_kwargs={"fresca_high_scale": 1.5},
         )),
     ]
     for name, kw in headline:
+        budget = (kw.get("cache_kwargs") or {}).get("token_budget")
+        if budget is not None and budget >= model.max_len:
+            logging.info("skipping %s: token_budget %s >= max_len %s",
+                         name, budget, model.max_len)
+            continue
         res = benchmark_sampling(model, num_samples, steps, batch, **kw)
         res["sw_vs_baseline"] = sw(res["_samples"])["sliced_wasserstein_mean"]
         record(name, res, t_base)

@@ -88,6 +88,49 @@ def test_sample_cli_artifacts(trained_run):
     assert stats["current_step"] == 4
 
 
+def test_benchmark_cache_cli_headline(trained_run, tmp_path):
+    """benchmark_cache headline arms end-to-end on a tiny model (token arm
+    auto-skipped: budget ≥ max_len), with CSV + figure artifacts."""
+    out = run_cli(
+        "benchmark_cache.py",
+        f"model_path={trained_run.parent}",
+        "model_id=latest",
+        "num_samples=8",
+        "num_diffusion_steps=6",
+        "sampler.sample_batch_size=8",
+        "run_ablations=false",
+        timeout=900,
+    )
+    assert "e2crf_score" in out and "noise floor" in out
+    import pandas as pd
+
+    df = pd.read_csv(REPO / "outputs/cache_benchmark/benchmark_results.csv")
+    methods = set(df["method"])
+    assert {"baseline", "e2crf_score", "e2crf_kv_event"} <= methods
+    assert "e2crf_token" not in methods  # budget 24 >= max_len 20 → skipped
+    assert df["sw_vs_baseline"].notna().sum() >= 4
+
+
+def test_ablation_cache_cli(trained_run):
+    """ablation_cache arms (score/KV levels + the τ₀ calibration sweep and
+    the noise-floor rerun) end-to-end on a tiny model."""
+    out = run_cli(
+        "ablation_cache.py",
+        f"model_path={trained_run.parent}",
+        "model_id=latest",
+        "num_samples=8",
+        "num_diffusion_steps=6",
+        "sampler.sample_batch_size=8",
+        timeout=900,
+    )
+    assert "baseline_rerun_floor" in out and "kv_event_tau1000" in out
+    results = json.loads(
+        (REPO / "ablation_results/ablation_results.json").read_text()
+    )
+    assert results["full_e2crf"]["cache_stats"]["current_step"] == 6
+    assert "sw_vs_baseline" in results["baseline_rerun_floor"]
+
+
 def test_sample_cli_reference_style_overrides(trained_run):
     """Reference README form: +sampler.use_cache=true +sampler.cache_kwargs={}."""
     run_cli(
