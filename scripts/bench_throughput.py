@@ -60,6 +60,10 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=500)
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--max-len", type=int, default=187)
+    parser.add_argument("--model-id", type=str, default=None,
+                        help="trained run id: adds a bf16-vs-fp32 sample-quality check")
+    parser.add_argument("--quality-only", action="store_true",
+                        help="skip the variant timings (merge into existing json)")
     args = parser.parse_args()
 
     variants = [
@@ -68,13 +72,16 @@ def main() -> None:
         ("einsum_bf16", dict(attention_impl="einsum", compute_dtype="bfloat16")),
         ("blockdiag_bf16", dict(attention_impl="blockdiag", compute_dtype="bfloat16")),
     ]
+    out = Path(__file__).resolve().parent.parent / "docs/benchmarks/throughput.json"
     results: dict[str, dict] = {}
+    if args.quality_only and out.exists():
+        results = json.loads(out.read_text()).get("results", {})
 
     scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(
         args.max_len
     )
     base_variables = None
-    for name, overrides in variants:
+    for name, overrides in [] if args.quality_only else variants:
         cfg = ScoreModelConfig(n_channels=1, max_len=args.max_len, **overrides)
         if base_variables is None:
             base_variables = init_score_model(jax.random.PRNGKey(0), cfg)
@@ -86,27 +93,64 @@ def main() -> None:
         results[name] = {"time_s": t, "samples_per_s_chip": sps}
         print(f"{name:<18} {t:7.2f}s  {sps:7.1f} samples/s/chip", file=sys.stderr)
 
-    # Lane-aligned reference: d128/H16 (dh=8) — 2.4x the FLOPs of d72 in
-    # attention projections and 1.78x in the FFN contraction, but every
-    # dimension tiles cleanly onto the 128-lane MXU.
-    cfg128 = ScoreModelConfig(
-        n_channels=1, max_len=args.max_len, d_model=128, n_head=16,
-        attention_impl="einsum", compute_dtype="float32",
-    )
-    model128 = ScoreModel(
-        config=cfg128,
-        variables=init_score_model(jax.random.PRNGKey(0), cfg128),
-        scheduler=scheduler,
-    )
-    t, sps = measure(
-        DiffusionSampler(model128, sample_batch_size=args.batch),
-        args.batch, args.steps,
-    )
-    results["d128_h16_fp32"] = {"time_s": t, "samples_per_s_chip": sps}
-    print(f"{'d128_h16_fp32':<18} {t:7.2f}s  {sps:7.1f} samples/s/chip",
-          file=sys.stderr)
+    if not args.quality_only:
+        # Lane-aligned reference: d128/H16 (dh=8) — 2.4x the FLOPs of d72 in
+        # attention projections and 1.78x in the FFN contraction, but every
+        # dimension tiles cleanly onto the 128-lane MXU.
+        cfg128 = ScoreModelConfig(
+            n_channels=1, max_len=args.max_len, d_model=128, n_head=16,
+            attention_impl="einsum", compute_dtype="float32",
+        )
+        model128 = ScoreModel(
+            config=cfg128,
+            variables=init_score_model(jax.random.PRNGKey(0), cfg128),
+            scheduler=scheduler,
+        )
+        t, sps = measure(
+            DiffusionSampler(model128, sample_batch_size=args.batch),
+            args.batch, args.steps,
+        )
+        results["d128_h16_fp32"] = {"time_s": t, "samples_per_s_chip": sps}
+        print(f"{'d128_h16_fp32':<18} {t:7.2f}s  {sps:7.1f} samples/s/chip",
+              file=sys.stderr)
 
-    out = Path(__file__).resolve().parent.parent / "docs/benchmarks/throughput.json"
+    if args.model_id:
+        # bf16 sample QUALITY on a trained model: SW(bf16 samples, fp32
+        # samples) read against the fp32-vs-fp32 independent-key floor.
+        from fdtpu.metrics import SlicedWasserstein
+        from fdtpu.train import get_best_checkpoint, load_checkpoint
+
+        ckpt = get_best_checkpoint(
+            Path(__file__).resolve().parent.parent
+            / "lightning_logs" / args.model_id / "checkpoints"
+        )
+        m32 = load_checkpoint(ckpt, attention_impl="blockdiag")
+        m16 = load_checkpoint(
+            ckpt, attention_impl="blockdiag", compute_dtype="bfloat16"
+        )
+        s32 = DiffusionSampler(m32, sample_batch_size=args.batch).sample(
+            args.batch, args.steps, key=jax.random.PRNGKey(1)
+        )
+        s32b = DiffusionSampler(m32, sample_batch_size=args.batch).sample(
+            args.batch, args.steps, key=jax.random.PRNGKey(2)
+        )
+        s16 = DiffusionSampler(m16, sample_batch_size=args.batch).sample(
+            args.batch, args.steps, key=jax.random.PRNGKey(2)
+        )
+        sw = SlicedWasserstein(
+            original_samples=np.asarray(s32), random_seed=42, num_directions=200
+        )
+        floor = float(sw(np.asarray(s32b))["sliced_wasserstein_mean"])
+        d16 = float(sw(np.asarray(s16))["sliced_wasserstein_mean"])
+        results["bf16_quality"] = {
+            "model_id": args.model_id,
+            "sw_bf16_vs_fp32": d16,
+            "sw_fp32_noise_floor": floor,
+            "within_floor": d16 <= 1.25 * floor,
+        }
+        print(f"bf16 quality: SW {d16:.3f} vs fp32 floor {floor:.3f}",
+              file=sys.stderr)
+
     out.parent.mkdir(parents=True, exist_ok=True)
     payload = {
         "config": {
