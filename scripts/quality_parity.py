@@ -92,7 +92,8 @@ def write_markdown(d: dict) -> None:
     ]
     swd = d.get("same_weights")
     if swd:
-        tr, di, c = swd["trajectory"], swd["distribution"], swd["config"]
+        tr, c = swd["trajectory"], swd["config"]
+        di = swd.get("distribution")
         lines += [
             f"## Same weights (trained fdtpu flagship `{swd['model_id']}` "
             "exported into the torch replica)",
@@ -105,13 +106,18 @@ def write_markdown(d: dict) -> None:
             f"MW-to-test-set fdtpu {tr['fdtpu']['mw_mean']:.6f} vs torch "
             f"{tr['torch']['mw_mean']:.6f} → **MW delta {tr['mw_delta']:.2e}** — "
             f"gate ≤1e-3: **{'PASS' if tr['gate_1e-3'] else 'FAIL'}**.",
-            f"* **Distribution** ({c['dist_samples']} samples, independent noise): "
-            f"MW-to-test fdtpu {di['fdtpu']['mw_mean']:.3f} vs torch "
-            f"{di['torch']['mw_mean']:.3f} (data floor "
-            f"{di['data_noise_floor']['mw_mean']:.3f}); direct "
-            f"MW(fdtpu, torch) = {di.get('mw_fdtpu_vs_torch_direct', float('nan')):.3f} vs "
-            f"fdtpu-vs-fdtpu self-floor "
-            f"{di.get('mw_fdtpu_vs_fdtpu_floor', float('nan')):.3f}.",
+        ]
+        if di:
+            lines += [
+                f"* **Distribution** ({c['dist_samples']} samples, independent noise): "
+                f"MW-to-test fdtpu {di['fdtpu']['mw_mean']:.3f} vs torch "
+                f"{di['torch']['mw_mean']:.3f} (data floor "
+                f"{di['data_noise_floor']['mw_mean']:.3f}); direct "
+                f"MW(fdtpu, torch) = {di.get('mw_fdtpu_vs_torch_direct', float('nan')):.3f} vs "
+                f"fdtpu-vs-fdtpu self-floor "
+                f"{di.get('mw_fdtpu_vs_fdtpu_floor', float('nan')):.3f}.",
+            ]
+        lines += [
             "",
             "The trajectory replay is the gate's real instrument: with shared",
             "weights and shared noise the two stacks must produce the same",
@@ -258,6 +264,26 @@ def run_same_weights(args) -> None:
     print(f"trajectory max|Δx| = {traj_max_abs:.2e}, MW delta = {traj_mw_delta:.2e} "
           f"(fdtpu {fd_s:.0f}s, torch {th_s:.0f}s)", file=sys.stderr)
 
+    # Persist the trajectory gate immediately: the distribution phase is the
+    # expensive part (eager torch on this 1-CPU box) and may be cut short.
+    partial = {
+        "model_id": str(args.same_weights),
+        "config": {
+            "model": f"d{cfg.d_model}/L{cfg.num_layers}/H{cfg.n_head}",
+            "max_len": cfg.max_len, "steps": steps,
+            "traj_samples": B, "dist_samples": args.dist_samples,
+            "platform": jax.default_backend(),
+        },
+        "forward_max_abs_delta": fwd_max_abs,
+        "trajectory": {
+            "max_abs_delta": traj_max_abs,
+            "fdtpu": r_fd, "torch": r_th,
+            "mw_delta": traj_mw_delta,
+            "gate_1e-3": traj_mw_delta <= 1e-3,
+        },
+    }
+    merge_payload("same_weights", partial)
+
     # ---- 3. distributional parity: independent noise, larger n
     N = args.dist_samples
     sampler = DiffusionSampler(model, sample_batch_size=min(N, args.batch))
@@ -290,20 +316,7 @@ def run_same_weights(args) -> None:
     mw_fd_vs_fd = float(mw_x2(d_fd)["marginal_wasserstein_mean"])
 
     payload = {
-        "model_id": str(args.same_weights),
-        "config": {
-            "model": f"d{cfg.d_model}/L{cfg.num_layers}/H{cfg.n_head}",
-            "max_len": cfg.max_len, "steps": steps,
-            "traj_samples": B, "dist_samples": N,
-            "platform": jax.default_backend(),
-        },
-        "forward_max_abs_delta": fwd_max_abs,
-        "trajectory": {
-            "max_abs_delta": traj_max_abs,
-            "fdtpu": r_fd, "torch": r_th,
-            "mw_delta": traj_mw_delta,
-            "gate_1e-3": traj_mw_delta <= 1e-3,
-        },
+        **partial,
         "distribution": {
             "fdtpu": r_dfd, "torch": r_dth,
             "data_noise_floor": r_floor,
