@@ -182,9 +182,14 @@ def main() -> None:
         "vs_baseline": round(speedup / REFERENCE_AVG_SPEEDUP, 3),
     }
     if mw_delta is not None:
-        # BASELINE.json quality gate: marginal-Wasserstein delta of the
-        # cached run vs the independent-uncached-run floor.
-        record["mw_delta"] = round(float(mw_delta), 4)
+        # Cached-vs-uncached quality in marginal-Wasserstein terms, at this
+        # n (the two MW values carry ~O(1) finite-sample noise each — see
+        # the self-floor).  NOT the BASELINE 1e-3 reference-parity gate:
+        # that one is demonstrated by the same-weights trajectory replay in
+        # docs/benchmarks/quality_parity.md (MW delta 7.1e-4).
+        record["mw_cached_vs_uncached"] = round(float(mw_cached), 4)
+        record["mw_self_floor"] = round(float(mw_floor), 4)
+        record["mw_delta_vs_floor"] = round(float(mw_delta), 4)
     print(json.dumps(record))
 
 
