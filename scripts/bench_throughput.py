@@ -47,6 +47,7 @@ def measure(sampler, n, steps, min_total_s=12.0, max_repeats=10):
     sampler.sample(n, steps, key=jax.random.PRNGKey(0))  # compile
     times = []
     while len(times) < 3 or (sum(times) < min_total_s and len(times) < max_repeats):
+        sampler.last_cache_state = None  # fresh cache per timed run
         t0 = time.time()
         out = sampler.sample(n, steps, key=jax.random.PRNGKey(1))
         times.append(time.time() - t0)
@@ -150,6 +151,24 @@ def main() -> None:
         }
         print(f"bf16 quality: SW {d16:.3f} vs fp32 floor {floor:.3f}",
               file=sys.stderr)
+
+        # Cached (score-level E²-CRF) absolute throughput per dtype: skip
+        # steps are EM-bound either way; bf16 accelerates the full steps.
+        cache_kwargs = {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1}
+        for name, m in (("cached_fp32", m32), ("cached_bf16", m16)):
+            sampler = DiffusionSampler(
+                m, sample_batch_size=args.batch, use_cache=True,
+                cache_kwargs=dict(cache_kwargs),
+            )
+            t, sps = measure(sampler, args.batch, args.steps)
+            stats = sampler.get_cache_stats()
+            results[name] = {
+                "time_s": t, "samples_per_s_chip": sps,
+                "steps_skipped_ratio": stats["steps_skipped_ratio"],
+            }
+            print(f"{name:<18} {t:7.2f}s  {sps:7.1f} samples/s/chip "
+                  f"({100 * stats['steps_skipped_ratio']:.0f}% skipped)",
+                  file=sys.stderr)
 
     out.parent.mkdir(parents=True, exist_ok=True)
     payload = {
