@@ -143,7 +143,10 @@ def main() -> None:
         )
         floor = float(sw(np.asarray(s32b))["sliced_wasserstein_mean"])
         d16 = float(sw(np.asarray(s16))["sliced_wasserstein_mean"])
-        results["bf16_quality"] = {
+        # Keyed by model so several trained models can coexist in the JSON
+        # (the original flagship keeps its unsuffixed round-2 keys).
+        suffix = "" if args.model_id == "20260816_201855" else f"@{args.model_id}"
+        results["bf16_quality" + suffix] = {
             "model_id": args.model_id,
             "sw_bf16_vs_fp32": d16,
             "sw_fp32_noise_floor": floor,
@@ -152,10 +155,24 @@ def main() -> None:
         print(f"bf16 quality: SW {d16:.3f} vs fp32 floor {floor:.3f}",
               file=sys.stderr)
 
+        if suffix:
+            # Non-flagship model: record its own uncached timings too (the
+            # flagship's live in the variant table above).
+            for name, m in (
+                ("uncached_fp32" + suffix, m32), ("uncached_bf16" + suffix, m16)
+            ):
+                t, sps = measure(
+                    DiffusionSampler(m, sample_batch_size=args.batch),
+                    args.batch, args.steps,
+                )
+                results[name] = {"time_s": t, "samples_per_s_chip": sps}
+                print(f"{name:<28} {t:7.2f}s  {sps:7.1f} samples/s/chip",
+                      file=sys.stderr)
+
         # Cached (score-level E²-CRF) absolute throughput per dtype: skip
         # steps are EM-bound either way; bf16 accelerates the full steps.
         cache_kwargs = {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1}
-        for name, m in (("cached_fp32", m32), ("cached_bf16", m16)):
+        for name, m in (("cached_fp32" + suffix, m32), ("cached_bf16" + suffix, m16)):
             sampler = DiffusionSampler(
                 m, sample_batch_size=args.batch, use_cache=True,
                 cache_kwargs=dict(cache_kwargs),
