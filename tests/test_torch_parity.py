@@ -163,3 +163,31 @@ def test_load_reference_ckpt_file(models, tmp_path):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     finally:
         mod.FakeScheduler = saved_cls
+
+
+def test_export_to_replica_forward_matches():
+    """Inverse direction (the quality-gate instrument): trained-style fdtpu
+    variables exported into the torch replica
+    (fdtpu/utils/torch_replica.load_fdtpu_variables) must produce the same
+    forward as score_apply on the same inputs."""
+    from fdtpu.utils.torch_replica import build_torch_score_net, load_fdtpu_variables
+
+    cfg = ScoreModelConfig(
+        n_channels=CHANNELS, max_len=MAX_LEN, d_model=D, num_layers=L,
+        n_head=H, dim_feedforward=FF,
+    )
+    variables = init_score_model(jax.random.PRNGKey(3), cfg)
+    net = build_torch_score_net(
+        n_channels=CHANNELS, max_len=MAX_LEN, d_model=D, num_layers=L,
+        n_head=H, dim_feedforward=FF, seed=1,
+    )
+    load_fdtpu_variables(net, variables)
+    net.eval()
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(5, MAX_LEN, CHANNELS).astype(np.float32)
+    t = np.linspace(0.1, 0.9, 5).astype(np.float32)
+    s_jax = np.asarray(score_apply(variables, cfg, jnp.asarray(x), jnp.asarray(t)))
+    with torch.no_grad():
+        s_torch = net(torch.tensor(x), torch.tensor(t)).numpy()
+    np.testing.assert_allclose(s_jax, s_torch, atol=2e-5)
