@@ -98,7 +98,9 @@ def write_markdown(d: dict) -> None:
             f"## Same weights (trained fdtpu flagship `{swd['model_id']}` "
             "exported into the torch replica)",
             "",
-            f"Model {c['model']}, max_len {c['max_len']}, T={c['steps']} steps.",
+            f"Model {c['model']}, max_len {c['max_len']}"
+            + (" (the ECG MIT-BIH series length)" if c["max_len"] == 187 else "")
+            + f", T={c['steps']} steps.",
             "",
             f"* **Single forward**: max|Δscore| = {swd['forward_max_abs_delta']:.2e}.",
             f"* **Trajectory replay** ({c['traj_samples']} samples, identical "
