@@ -56,6 +56,61 @@ def measure(sampler, n, steps, min_total_s=12.0, max_repeats=10):
     return t, out.shape[0] / t
 
 
+def bench_training(args) -> None:
+    """Training throughput (samples/s/chip) per attention/dtype variant:
+    full jitted train step (loss → grad → AdamW update), synthetic-freq
+    data, batch 64.  First fit warms the persistent compile cache; the
+    timed fit is a fresh Trainer over 2 epochs."""
+    import tempfile
+
+    from fdtpu.data import SyntheticDatamodule
+    from fdtpu.models.score_models import ScoreModel
+    from fdtpu.train import Trainer
+
+    dm = SyntheticDatamodule(
+        data_dir=tempfile.mkdtemp(), max_len=args.max_len, num_samples=2000,
+        batch_size=64, fourier_transform=True, standardize=True,
+    )
+    dm.prepare_data()
+    dm.setup()
+    scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(
+        args.max_len
+    )
+    variants = [
+        ("train_einsum_fp32", dict(attention_impl="einsum", compute_dtype="float32")),
+        ("train_blockdiag_fp32", dict(attention_impl="blockdiag", compute_dtype="float32")),
+        ("train_einsum_bf16", dict(attention_impl="einsum", compute_dtype="bfloat16")),
+        ("train_blockdiag_bf16", dict(attention_impl="blockdiag", compute_dtype="bfloat16")),
+    ]
+    out = Path(__file__).resolve().parent.parent / "docs/benchmarks/throughput.json"
+    payload = json.loads(out.read_text()) if out.exists() else {"results": {}}
+    for name, overrides in variants:
+        cfg = ScoreModelConfig(n_channels=1, max_len=args.max_len, **overrides)
+
+        def fresh_model():
+            return ScoreModel(
+                config=cfg,
+                variables=init_score_model(jax.random.PRNGKey(0), cfg),
+                scheduler=scheduler,
+                num_training_steps=2 * (2000 // 64),
+            )
+
+        Trainer(max_epochs=1, run_dir=tempfile.mkdtemp(), seed=42,
+                log_every_n_steps=10_000).fit(fresh_model(), dm)  # warm cache
+        t0 = time.time()
+        Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
+                log_every_n_steps=10_000).fit(fresh_model(), dm)
+        elapsed = time.time() - t0
+        sps = 2 * 2000 / elapsed
+        payload["results"][name] = {
+            "time_s_2_epochs": elapsed, "train_samples_per_s_chip": sps,
+        }
+        print(f"{name:<22} {elapsed:7.2f}s  {sps:7.1f} train samples/s/chip",
+              file=sys.stderr)
+    out.write_text(json.dumps(payload, indent=2))
+    print(json.dumps(payload["results"]))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=500)
@@ -65,7 +120,12 @@ def main() -> None:
                         help="trained run id: adds a bf16-vs-fp32 sample-quality check")
     parser.add_argument("--quality-only", action="store_true",
                         help="skip the variant timings (merge into existing json)")
+    parser.add_argument("--train", action="store_true",
+                        help="measure TRAINING throughput per variant instead")
     args = parser.parse_args()
+    if args.train:
+        bench_training(args)
+        return
 
     variants = [
         ("einsum_fp32", dict(attention_impl="einsum", compute_dtype="float32")),
