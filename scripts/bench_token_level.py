@@ -56,6 +56,8 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--epochs", type=int, default=25)
     parser.add_argument("--budgets", type=int, nargs="*", default=[24, 48, 96])
+    parser.add_argument("--model-id", type=str, default=None,
+                        help="benchmark an existing trained run instead of training fresh")
     args = parser.parse_args()
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -64,7 +66,17 @@ def main() -> None:
     from fdtpu.metrics import SlicedWasserstein
     from fdtpu.sampling import DiffusionSampler
 
-    model = bench.build_model(187, trained=args.trained, epochs=args.epochs)
+    if args.model_id:
+        from fdtpu.train import get_best_checkpoint, load_checkpoint
+
+        ckpt = get_best_checkpoint(
+            Path(__file__).resolve().parent.parent
+            / "lightning_logs" / args.model_id / "checkpoints"
+        )
+        model = load_checkpoint(ckpt, attention_impl="auto")
+        args.trained = True
+    else:
+        model = bench.build_model(187, trained=args.trained, epochs=args.epochs)
     batch, steps = args.batch, args.steps
 
     results: dict[str, dict] = {}
@@ -145,7 +157,12 @@ def main() -> None:
     run("kv_event", {"level": "kv", "policy": "event", "K": 5, "R": 100})
     run("score_level", {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1})
 
-    out = Path(__file__).resolve().parent.parent / "docs/benchmarks/token_level_timings.json"
+    stem = (
+        f"token_level_timings@{args.model_id}"
+        if args.model_id
+        else "token_level_timings"
+    )
+    out = Path(__file__).resolve().parent.parent / f"docs/benchmarks/{stem}.json"
     out.parent.mkdir(parents=True, exist_ok=True)
     payload = {
         "config": {
@@ -153,7 +170,7 @@ def main() -> None:
             "steps": steps,
             "trained": args.trained,
             "max_len": 187,
-            "model": "flagship d72/L10/H12",
+            "model": args.model_id or "flagship d72/L10/H12",
         },
         "results": results,
     }
