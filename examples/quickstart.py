@@ -7,6 +7,7 @@ The script equivalent of the reference's notebooks/ablation_cache_test.ipynb.
     python examples/quickstart.py            # ~2 min on CPU, faster on TPU
 """
 
+import os
 import sys
 import tempfile
 import time
@@ -15,6 +16,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
+
+if os.environ.get("FDTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FDTPU_PLATFORM"])
 
 from fdtpu.data import DiffusionDataset, SyntheticDatamodule
 from fdtpu.diffusion import VPScheduler

@@ -1,0 +1,41 @@
+"""Example scripts (the reference-notebook analogs) run end-to-end.
+
+quickstart.py mirrors notebooks/ablation_cache_test.ipynb;
+spectral_interpretation.py mirrors notebooks/spectral_interpretation.ipynb.
+results_aggregation.py is exercised against a run dir by the viz pipeline
+tests; here it only needs to print usage cleanly with no args.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_example(script: str, *args: str, timeout: int = 600):
+    env = dict(os.environ)
+    env.update({"FDTPU_PLATFORM": "cpu", "PYTHONPATH": str(REPO)})
+    result = subprocess.run(
+        [sys.executable, str(REPO / "examples" / script), *args],
+        capture_output=True, text=True, timeout=timeout, env=env,
+    )
+    return result
+
+
+def test_quickstart_example():
+    result = run_example("quickstart.py")
+    assert result.returncode == 0, result.stderr[-3000:]
+    out = result.stdout + result.stderr
+    assert "e2crf" in out and "skipped=" in out and "baselines:" in out
+
+
+def test_spectral_interpretation_example(tmp_path):
+    result = run_example("spectral_interpretation.py", "--synthetic")
+    assert result.returncode == 0, result.stderr[-3000:]
+
+
+def test_results_aggregation_usage():
+    result = run_example("results_aggregation.py")
+    assert result.returncode != 0 or "usage" in (result.stdout + result.stderr).lower()
