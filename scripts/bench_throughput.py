@@ -122,6 +122,9 @@ def main() -> None:
                         help="skip the variant timings (merge into existing json)")
     parser.add_argument("--train", action="store_true",
                         help="measure TRAINING throughput per variant instead")
+    parser.add_argument("--flagship", action="store_true",
+                        help="store --model-id results under the unsuffixed "
+                             "flagship keys (bf16_quality/cached_*)")
     args = parser.parse_args()
     if args.train:
         bench_training(args)
@@ -134,8 +137,11 @@ def main() -> None:
         ("blockdiag_bf16", dict(attention_impl="blockdiag", compute_dtype="bfloat16")),
     ]
     out = Path(__file__).resolve().parent.parent / "docs/benchmarks/throughput.json"
+    # Always merge into the existing file: a plain (sampling-variant) run
+    # refreshes its own keys without destroying the train_*/quality/@run
+    # entries the other modes accumulated.
     results: dict[str, dict] = {}
-    if args.quality_only and out.exists():
+    if out.exists():
         results = json.loads(out.read_text()).get("results", {})
 
     scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(
@@ -203,9 +209,9 @@ def main() -> None:
         )
         floor = float(sw(np.asarray(s32b))["sliced_wasserstein_mean"])
         d16 = float(sw(np.asarray(s16))["sliced_wasserstein_mean"])
-        # Keyed by model so several trained models can coexist in the JSON
-        # (the original flagship keeps its unsuffixed round-2 keys).
-        suffix = "" if args.model_id == "20260816_201855" else f"@{args.model_id}"
+        # Keyed by model so several trained models can coexist in the JSON;
+        # --flagship selects the unsuffixed keys the docs headline uses.
+        suffix = "" if args.flagship else f"@{args.model_id}"
         results["bf16_quality" + suffix] = {
             "model_id": args.model_id,
             "sw_bf16_vs_fp32": d16,
@@ -248,13 +254,17 @@ def main() -> None:
                   file=sys.stderr)
 
     out.parent.mkdir(parents=True, exist_ok=True)
-    payload = {
-        "config": {
-            "batch": args.batch, "steps": args.steps, "max_len": args.max_len,
-            "model": "flagship d72/L10/H12 (+ d128/H16 reference)",
-        },
-        "results": results,
+    config = {
+        "batch": args.batch, "steps": args.steps, "max_len": args.max_len,
+        "model": "flagship d72/L10/H12 (+ d128/H16 reference)",
     }
+    if out.exists():
+        # Partial (quality-only) runs keep the full-run config that
+        # describes the variant timings stored alongside.
+        existing_cfg = json.loads(out.read_text()).get("config")
+        if args.quality_only and existing_cfg:
+            config = existing_cfg
+    payload = {"config": config, "results": results}
     out.write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload))
 

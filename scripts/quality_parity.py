@@ -220,6 +220,23 @@ def run_same_weights(args) -> None:
     print(f"loaded {ckpt} (d{cfg.d_model}/L{cfg.num_layers}/H{cfg.n_head}, "
           f"max_len {cfg.max_len})", file=sys.stderr)
 
+    # The torch replica implements the VP dynamics only; use the
+    # checkpoint's actual hyperparameters so identical weights + identical
+    # noise really produce identical dynamics.
+    from fdtpu.diffusion import VPScheduler
+
+    if not isinstance(model.scheduler, VPScheduler):
+        raise SystemExit(
+            "--same-weights requires a VP-scheduler checkpoint: the torch "
+            f"replica has no VE branch (got {type(model.scheduler).__name__})"
+        )
+    sde_kw = dict(
+        beta_min=float(model.scheduler.beta_min),
+        beta_max=float(model.scheduler.beta_max),
+        eps=float(model.scheduler.eps),
+        fourier_scaling=model.scheduler.fourier_noise_scaling,
+    )
+
     net = build_torch_score_net(
         n_channels=cfg.n_channels, max_len=cfg.max_len, d_model=cfg.d_model,
         num_layers=cfg.num_layers, n_head=cfg.n_head,
@@ -263,8 +280,7 @@ def run_same_weights(args) -> None:
     t0 = time.time()
     s_th = torch_sample(
         net, B, cfg.max_len, cfg.n_channels, steps, batch_size=B,
-        fourier_scaling=model.scheduler.fourier_noise_scaling,
-        prior_noise=z0, step_noise=zs,
+        prior_noise=z0, step_noise=zs, **sde_kw,
     )
     th_s = time.time() - t0
     traj_max_abs = float(np.max(np.abs(s_fd - s_th)))
@@ -304,7 +320,7 @@ def run_same_weights(args) -> None:
     d_th = destandardize_and_idft(
         torch_sample(
             net, N, cfg.max_len, cfg.n_channels, steps, batch_size=args.batch,
-            fourier_scaling=model.scheduler.fourier_noise_scaling, seed=13,
+            seed=13, **sde_kw,
         ),
         feat_mean, feat_std,
     )
@@ -346,7 +362,8 @@ def run_same_weights(args) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=25)
-    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--steps", type=int, default=None,
+                        help="diffusion steps (default: 500, or 250 in --same-weights mode)")
     parser.add_argument("--num-samples", type=int, default=512)
     parser.add_argument("--max-len", type=int, default=100)
     parser.add_argument("--batch", type=int, default=128)
@@ -359,12 +376,14 @@ def main() -> None:
     if args.same_weights:
         if args.quick:
             args.steps, args.traj_samples, args.dist_samples = 50, 8, 32
-        elif args.steps == 500:
+        elif args.steps is None:
             args.steps = 250
         run_same_weights(args)
         return
     if args.quick:
         args.epochs, args.steps, args.num_samples = 2, 50, 64
+    elif args.steps is None:
+        args.steps = 500
 
     from fdtpu.data import SyntheticDatamodule
     from fdtpu.diffusion import VPScheduler

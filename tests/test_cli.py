@@ -14,7 +14,7 @@ import yaml
 REPO = Path(__file__).resolve().parents[1]
 
 
-def run_cli(script: str, *overrides: str, timeout: int = 420) -> str:
+def run_cli(script: str, *overrides: str, timeout: int = 420, cwd=None) -> str:
     env = {
         "FDTPU_PLATFORM": "cpu",
         "PATH": "/usr/bin:/bin:/usr/local/bin",
@@ -27,7 +27,7 @@ def run_cli(script: str, *overrides: str, timeout: int = 420) -> str:
     env["FDTPU_PLATFORM"] = "cpu"
     result = subprocess.run(
         [sys.executable, str(REPO / "cli" / script), *overrides],
-        capture_output=True, text=True, timeout=timeout, env=env,
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=cwd,
     )
     assert result.returncode == 0, result.stderr[-3000:]
     return result.stdout + result.stderr
@@ -90,7 +90,9 @@ def test_sample_cli_artifacts(trained_run):
 
 def test_benchmark_cache_cli_headline(trained_run, tmp_path):
     """benchmark_cache headline arms end-to-end on a tiny model (token arm
-    auto-skipped: budget ≥ max_len), with CSV + figure artifacts."""
+    auto-skipped: budget ≥ max_len), with CSV + figure artifacts.  Runs in
+    a tmp CWD: the CLI writes outputs/ relative to it, so the repo's real
+    benchmark artifacts are untouched."""
     out = run_cli(
         "benchmark_cache.py",
         f"model_path={trained_run.parent}",
@@ -100,20 +102,21 @@ def test_benchmark_cache_cli_headline(trained_run, tmp_path):
         "sampler.sample_batch_size=8",
         "run_ablations=false",
         timeout=900,
+        cwd=tmp_path,
     )
     assert "e2crf_score" in out and "noise floor" in out
     import pandas as pd
 
-    df = pd.read_csv(REPO / "outputs/cache_benchmark/benchmark_results.csv")
+    df = pd.read_csv(tmp_path / "outputs/cache_benchmark/benchmark_results.csv")
     methods = set(df["method"])
     assert {"baseline", "e2crf_score", "e2crf_kv_event"} <= methods
     assert "e2crf_token" not in methods  # budget 24 >= max_len 20 → skipped
     assert df["sw_vs_baseline"].notna().sum() >= 4
 
 
-def test_ablation_cache_cli(trained_run):
+def test_ablation_cache_cli(trained_run, tmp_path):
     """ablation_cache arms (score/KV levels + the τ₀ calibration sweep and
-    the noise-floor rerun) end-to-end on a tiny model."""
+    the noise-floor rerun) end-to-end on a tiny model, in a tmp CWD."""
     out = run_cli(
         "ablation_cache.py",
         f"model_path={trained_run.parent}",
@@ -122,10 +125,11 @@ def test_ablation_cache_cli(trained_run):
         "num_diffusion_steps=6",
         "sampler.sample_batch_size=8",
         timeout=900,
+        cwd=tmp_path,
     )
     assert "baseline_rerun_floor" in out and "kv_event_tau1000" in out
     results = json.loads(
-        (REPO / "ablation_results/ablation_results.json").read_text()
+        (tmp_path / "ablation_results/ablation_results.json").read_text()
     )
     assert results["full_e2crf"]["cache_stats"]["current_step"] == 6
     assert "sw_vs_baseline" in results["baseline_rerun_floor"]

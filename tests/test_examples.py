@@ -37,5 +37,9 @@ def test_spectral_interpretation_example(tmp_path):
 
 
 def test_results_aggregation_usage():
+    """With no args the script must print its usage docstring and exit 1
+    (not crash some other way)."""
     result = run_example("results_aggregation.py")
-    assert result.returncode != 0 or "usage" in (result.stdout + result.stderr).lower()
+    out = result.stdout + result.stderr
+    assert result.returncode == 1, out[-2000:]
+    assert "results_aggregation.py <runs_dir>" in out, out[-2000:]
