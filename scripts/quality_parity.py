@@ -128,6 +128,20 @@ def write_markdown(d: dict) -> None:
             "distance against the fdtpu-vs-fdtpu self-floor.",
             "",
         ]
+    extra_traj = sorted(k for k in d if k.startswith("same_weights_trajectory_T"))
+    for key in extra_traj:
+        e = d[key]
+        tr, c = e["trajectory"], e["config"]
+        lines += [
+            f"### Deeper replay: T={c['steps']} (the reference's full protocol)",
+            "",
+            f"{c['traj_samples']} samples, identical injected noise: "
+            f"max|Δx| = {tr['max_abs_delta']:.2e}, MW-to-test fdtpu "
+            f"{tr['fdtpu']['mw_mean']:.6f} vs torch {tr['torch']['mw_mean']:.6f} "
+            f"→ **MW delta {tr['mw_delta']:.2e}** — gate ≤1e-3: "
+            f"**{'PASS' if tr['gate_1e-3'] else 'FAIL'}**.",
+            "",
+        ]
     ind = d.get("independent_training")
     if ind:
         lines += [
@@ -309,6 +323,12 @@ def run_same_weights(args) -> None:
             "gate_1e-3": traj_mw_delta <= 1e-3,
         },
     }
+    if args.traj_only:
+        # Separate section so deeper-T replays coexist with the main
+        # (trajectory + distribution) artifact instead of replacing it.
+        merge_payload(f"same_weights_trajectory_T{steps}", partial)
+        print(json.dumps(partial, indent=2))
+        return
     merge_payload("same_weights", partial)
 
     # ---- 3. distributional parity: independent noise, larger n
@@ -372,6 +392,8 @@ def main() -> None:
                         help="run-id of a trained fdtpu model: same-weights mode")
     parser.add_argument("--traj-samples", type=int, default=32)
     parser.add_argument("--dist-samples", type=int, default=256)
+    parser.add_argument("--traj-only", action="store_true",
+                        help="same-weights mode: stop after the trajectory gate")
     args = parser.parse_args()
     if args.same_weights:
         if args.quick:
