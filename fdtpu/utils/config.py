@@ -34,12 +34,17 @@ def _load_yaml(path: Path) -> dict[str, Any]:
     return data or {}
 
 
+_RUN_ID = re.compile(r"\d{8}_\d{6}")
+
+
 def _parse_value(raw: str) -> Any:
     value = yaml.safe_load(raw)
     # YAML 1.1 reads digit groups with underscores ("20260816_201855", a
-    # timestamp run id) as ints with the underscores stripped; keep the
-    # original string in that case.
-    if isinstance(value, (int, float)) and "_" in raw:
+    # timestamp run id from Trainer's strftime("%Y%m%d_%H%M%S")) as ints with
+    # the underscores stripped; keep the original string only for run-id
+    # shaped tokens so numeric overrides like num_samples=1_000 still parse
+    # as numbers.
+    if isinstance(value, (int, float)) and _RUN_ID.fullmatch(raw):
         return raw
     return value
 
