@@ -87,15 +87,29 @@ def _mimic_to_3d(df: pd.DataFrame) -> np.ndarray:
     return np.dstack([df.loc[idx[:, :, :, h], :].values for h in hours])
 
 
+def _read_hdf_frame(path: Path, key: str) -> pd.DataFrame:
+    """``pd.read_hdf`` with an h5py fallback: pandas needs the optional
+    ``pytables`` dependency; where it is missing, fixed-format frames (what
+    MIMIC-Extract writes) are parsed directly via h5py
+    (:mod:`fdtpu.data.hdf_fixed`)."""
+    try:
+        return pd.read_hdf(path, key)
+    except ImportError:
+        from fdtpu.data.hdf_fixed import read_fixed_frame
+
+        return read_fixed_frame(path, key)
+
+
 def mimic_preprocess(data_dir: Path, random_seed: int, train_frac: float = 0.8) -> None:
     """First-24h vitals/labs → (N, 24, 104) tensors (reference :83-180).
 
-    Reads the MIMIC-Extract ``all_hourly_data.h5`` (needs pytables); the
-    frame-level pipeline lives in :func:`mimic_preprocess_frames` so it can
-    be exercised on schema-accurate fixtures without an h5 reader."""
+    Reads the MIMIC-Extract ``all_hourly_data.h5`` (pytables where
+    available, h5py fallback otherwise); the frame-level pipeline lives in
+    :func:`mimic_preprocess_frames` so it can be exercised on
+    schema-accurate fixtures without any h5 reader."""
     dataset_path = data_dir / "all_hourly_data.h5"
-    statics = pd.read_hdf(dataset_path, "patients")
-    df = pd.read_hdf(dataset_path, "vitals_labs")
+    statics = _read_hdf_frame(dataset_path, "patients")
+    df = _read_hdf_frame(dataset_path, "vitals_labs")
     mimic_preprocess_frames(statics, df, data_dir, random_seed, train_frac)
 
 

@@ -1,10 +1,11 @@
 """End-to-end raw-file fixtures for the real datamodules.
 
-Each test writes a tiny file with the REAL dataset's schema (column names,
-layouts, units — reference dataloaders/datamodules.py:187-229, 406-410,
-469-476, 530-537 and utils/preprocessing.py) and drives
-``prepare_data → setup → dataset_parameters → train_dataloader`` through it,
-so a schema drift against the upstream files is caught by the suite."""
+Each test writes a tiny file tree with the REAL dataset's schema (via the
+shared writers in fdtpu.data.fixtures — column names, layouts, units;
+reference dataloaders/datamodules.py:187-229, 406-410, 469-476, 530-537
+and utils/preprocessing.py) and drives
+``prepare_data → setup → dataset_parameters → train_dataloader`` through
+it, so a schema drift against the upstream files is caught by the suite."""
 
 import tempfile
 from pathlib import Path
@@ -20,6 +21,14 @@ from fdtpu.data import (
     NASDAQDatamodule,
     USDroughtsDatamodule,
 )
+from fdtpu.data.fixtures import (
+    mimic_fixture_frames,
+    write_droughts_fixture,
+    write_ecg_fixture,
+    write_mimic_fixture,
+    write_nasa_fixture,
+    write_nasdaq_fixture,
+)
 
 
 def _drive(dm):
@@ -32,21 +41,9 @@ def _drive(dm):
     return params
 
 
-# ----------------------------------------------------------------- ECG
 def test_ecg_raw_csv_fixture():
-    """MIT-BIH CSVs: 188 columns (187 samples + class label), no header —
-    reference reads with default header so the first row is consumed as
-    header (preserved quirk)."""
     root = Path(tempfile.mkdtemp())
-    d = root / "ecg"
-    d.mkdir()
-    rng = np.random.default_rng(0)
-    for name, n in (("mitbih_train.csv", 30), ("mitbih_test.csv", 10)):
-        vals = rng.uniform(0, 1, size=(n, 187)).astype(np.float32)
-        labels = rng.integers(0, 5, size=(n, 1)).astype(np.float32)
-        pd.DataFrame(np.hstack([vals, labels])).to_csv(
-            d / name, index=False, header=False
-        )
+    write_ecg_fixture(root, n_train=30, n_test=10)
     dm = ECGDatamodule(data_dir=root, batch_size=4)
     params = _drive(dm)
     assert params["max_len"] == 187
@@ -55,163 +52,42 @@ def test_ecg_raw_csv_fixture():
     assert dm.X_train.shape == (29, 187, 1)
 
 
-# ----------------------------------------------------------------- NASDAQ
 def test_nasdaq_raw_stock_csvs_fixture():
-    """Per-stock CSVs (Date/Open/High/Low/Close/Adj Close/Volume); only
-    stocks spanning 2019 with exactly 252 trading days survive."""
     root = Path(tempfile.mkdtemp())
-    d = root / "nasdaq"
-    (d / "stocks").mkdir(parents=True)
-    rng = np.random.default_rng(1)
-    days_2019 = pd.bdate_range("2019-01-02", "2019-12-31")[:252]
-    assert len(days_2019) == 252
-    full_dates = (
-        [pd.Timestamp("2018-12-28")] + list(days_2019) + [pd.Timestamp("2020-01-02")]
-    )
-    for name in ("AAAA", "BBBB", "CCCC"):
-        df = pd.DataFrame(
-            {
-                "Date": full_dates,
-                "Open": rng.uniform(10, 20, len(full_dates)),
-                "High": rng.uniform(20, 30, len(full_dates)),
-                "Low": rng.uniform(5, 10, len(full_dates)),
-                "Close": rng.uniform(10, 20, len(full_dates)),
-                "Adj Close": rng.uniform(10, 20, len(full_dates)),
-                "Volume": rng.integers(1000, 2000, len(full_dates)),
-            }
-        )
-        df.to_csv(d / "stocks" / f"{name}.csv", index=False)
-    # One stock with a hole (251 days in 2019) must be filtered out.
-    df_bad = df.iloc[:-2]
-    df_bad.to_csv(d / "stocks" / "HOLE.csv", index=False)
-
+    write_nasdaq_fixture(root, n_stocks=3, with_holey_stock=True)
     dm = NASDAQDatamodule(data_dir=root, batch_size=2)
     params = _drive(dm)
     assert params["max_len"] == 252
     assert params["n_channels"] == 5  # volume dropped
+    # the holey stock (251 days) is filtered out
     assert dm.X_train.shape[0] + dm.X_test.shape[0] == 3
 
 
-# ----------------------------------------------------------------- NASA
 def test_nasa_raw_battery_fixture():
-    """cleaned_dataset/metadata.csv + per-cycle data CSVs; charge subset is
-    binned to (N, 501, 5) then strided/outlier-dropped to (N, 251, 4)."""
     root = Path(tempfile.mkdtemp())
-    d = root / "nasa"
-    (d / "cleaned_dataset" / "data").mkdir(parents=True)
-    rng = np.random.default_rng(2)
-    files = [f"{i:05d}.csv" for i in range(3)]
-    meta = pd.DataFrame(
-        {
-            "type": ["charge"] * 3 + ["discharge"],
-            "filename": files + ["99999.csv"],
-            "battery_id": ["B05"] * 4,
-        }
-    )
-    meta.to_csv(d / "cleaned_dataset" / "metadata.csv", index=False)
-    t = np.arange(0, 5100, 5.0)  # max diff 5 <= bin 10, spans past cutoff
-    for f in files:
-        pd.DataFrame(
-            {
-                "Voltage_measured": rng.uniform(3, 4, len(t)),
-                "Current_measured": rng.uniform(-1, 2, len(t)),
-                "Temperature_measured": rng.uniform(20, 40, len(t)),
-                "Current_charge": rng.uniform(0, 2, len(t)),
-                "Voltage_charge": rng.uniform(4, 5, len(t)),
-                "Time": t,
-            }
-        ).to_csv(d / "cleaned_dataset" / "data" / f, index=False)
-    # the discharge file is never read for the charge subset
+    write_nasa_fixture(root, n_files=3, kind="charge")
     dm = NASADatamodule(data_dir=root, batch_size=2, subdataset="charge")
     params = _drive(dm)
     assert params["max_len"] == 251
     assert params["n_channels"] == 4
 
 
-# ----------------------------------------------------------------- droughts
 def test_droughts_raw_timeseries_fixture():
-    """train_timeseries.csv: daily county meteorology; NaN-bearing columns
-    (weekly drought score) are dropped, then T2M-correlated features
-    {4,5,6,7,9} are removed."""
     root = Path(tempfile.mkdtemp())
-    d = root / "droughts"
-    (d / "train_timeseries").mkdir(parents=True)
-    rng = np.random.default_rng(3)
-    dates = pd.date_range("2010-12-25", "2012-01-10", freq="D")
-    feats = [
-        "PRECTOT", "PS", "QV2M", "T2M", "T2MDEW", "T2MWET", "T2M_MAX",
-        "T2M_MIN", "T2M_RANGE", "TS", "WS10M", "WS50M",
-    ]
-    rows = []
-    for fips in (1001, 1003):
-        for date in dates:
-            row = {"fips": fips, "date": date}
-            row.update({f: rng.uniform(0, 10) for f in feats})
-            # weekly score: NaN except Tuesdays (forces dropna(axis=1))
-            row["score"] = rng.uniform(0, 5) if date.dayofweek == 1 else np.nan
-            rows.append(row)
-    pd.DataFrame(rows).to_csv(
-        d / "train_timeseries" / "train_timeseries.csv", index=False
-    )
+    write_droughts_fixture(root, fips=(1001, 1003))
     dm = USDroughtsDatamodule(data_dir=root, batch_size=1)
     params = _drive(dm)
     assert params["max_len"] == 365
-    assert params["n_channels"] == len(feats) - 5  # {4,5,6,7,9} dropped
+    assert params["n_channels"] == 12 - 5  # {4,5,6,7,9} dropped
 
 
 # ----------------------------------------------------------------- MIMIC-III
-def _mimic_frames(n_features=104, n_subjects=6, hours=30):
-    rng = np.random.default_rng(4)
-    sub = np.arange(n_subjects)
-    statics = pd.DataFrame(
-        {
-            "max_hours": [hours + 10] * n_subjects,
-            "mort_hosp": rng.integers(0, 2, n_subjects),
-            "mort_icu": rng.integers(0, 2, n_subjects),
-            "los_icu": rng.uniform(1, 5, n_subjects),
-        },
-        index=pd.MultiIndex.from_arrays(
-            [sub, sub + 100, sub + 200],
-            names=["subject_id", "hadm_id", "icustay_id"],
-        ),
-    )
-    idx = pd.MultiIndex.from_product(
-        [sub, sub + 100, sub + 200, range(hours)],
-        names=["subject_id", "hadm_id", "icustay_id", "hours_in"],
-    )
-    # keep only matching (s, s+100, s+200) rows like the real layout
-    idx = pd.MultiIndex.from_tuples(
-        [
-            (s, h, i, t)
-            for s, h, i, t in idx
-            if h == s + 100 and i == s + 200
-        ],
-        names=["subject_id", "hadm_id", "icustay_id", "hours_in"],
-    )
-    cols = pd.MultiIndex.from_product(
-        [[f"feat{i}" for i in range(n_features)], ["mean", "count"]],
-        names=["LEVEL2", "Aggregation Function"],
-    )
-    vals = rng.uniform(0, 1, size=(len(idx), len(cols)))
-    df = pd.DataFrame(vals, index=idx, columns=cols)
-    # sprinkle missingness: zero counts + NaN means
-    mask = rng.uniform(size=(len(idx), n_features)) < 0.3
-    means = df.loc[:, pd.IndexSlice[:, "mean"]].values.copy()
-    means[mask] = np.nan
-    df.loc[:, pd.IndexSlice[:, "mean"]] = means
-    counts = df.loc[:, pd.IndexSlice[:, "count"]].values.copy()
-    counts[mask] = 0.0
-    df.loc[:, pd.IndexSlice[:, "count"]] = counts
-    return statics, df
-
-
 def test_mimic_frames_pipeline_fixture():
-    """Frame-level MIMIC pipeline on a schema-accurate fixture (the h5 read
-    itself needs pytables — covered by the skip-gated test below)."""
+    """Frame-level MIMIC pipeline on a schema-accurate fixture."""
     from fdtpu.data.preprocessing import mimic_preprocess_frames
 
     d = Path(tempfile.mkdtemp())
-    statics, df = _mimic_frames(n_features=12)
+    statics, df = mimic_fixture_frames(n_features=12)
     mimic_preprocess_frames(
         statics, df, d, random_seed=0, expected_features=12
     )
@@ -232,16 +108,54 @@ def test_mimic_frames_pipeline_fixture():
     assert dm.dataset_parameters["max_len"] == 24
 
 
+def test_mimic_h5_full_datamodule_fixture():
+    """The full 104-feature h5 path through the datamodule: h5 read
+    (pytables or the h5py fixed-format fallback) → imputation → (N,24,104)
+    tensors → top-variance feature cut."""
+    root = Path(tempfile.mkdtemp())
+    write_mimic_fixture(root, n_features=104, n_subjects=6)
+    dm = MIMICIIIDatamodule(data_dir=root, batch_size=2, n_feats=40)
+    params = _drive(dm)
+    assert params["max_len"] == 24
+    assert params["n_channels"] == 40
+
+
 def test_mimic_h5_roundtrip_fixture():
-    """Full h5 path (pd.read_hdf) — runs where pytables is installed."""
-    pytest.importorskip("tables")
+    """Full h5 path: pd.read_hdf where pytables is installed, the h5py
+    fixed-format fallback otherwise — either way the read + pipeline run."""
     d = Path(tempfile.mkdtemp())
-    statics, df = _mimic_frames(n_features=12)
-    statics.to_hdf(d / "all_hourly_data.h5", key="patients")
-    df.to_hdf(d / "all_hourly_data.h5", key="vitals_labs")
+    (d / "mimiciii").mkdir()
+    write_mimic_fixture(d, n_features=12)
     from fdtpu.data.preprocessing import mimic_preprocess
 
     with pytest.raises(AssertionError):
         # 12-feature fixture vs the hard (24, 104) shape assert: the h5 read
         # and pipeline run; only the final shape gate trips.
-        mimic_preprocess(d, random_seed=0)
+        mimic_preprocess(d / "mimiciii", random_seed=0)
+
+
+def test_hdf_fixed_frame_roundtrip():
+    """The h5py fixed-format writer/reader round-trips both MIMIC frame
+    shapes exactly: MultiIndex index + plain columns (statics, mixed
+    int/float blocks) and MultiIndex index + MultiIndex columns with NaNs
+    (vitals_labs)."""
+    from fdtpu.data.hdf_fixed import read_fixed_frame, write_fixed_frame
+
+    d = Path(tempfile.mkdtemp())
+    statics, df = mimic_fixture_frames(n_features=7)
+    path = d / "roundtrip.h5"
+    write_fixed_frame(statics, path, "patients", mode="w")
+    write_fixed_frame(df, path, "vitals_labs")
+
+    statics_rt = read_fixed_frame(path, "patients")
+    pd.testing.assert_frame_equal(statics_rt, statics)
+    df_rt = read_fixed_frame(path, "vitals_labs")
+    pd.testing.assert_frame_equal(df_rt, df)
+
+    # Where pytables exists, the same file must open through pandas too.
+    try:
+        pd.testing.assert_frame_equal(
+            pd.read_hdf(path, "patients"), statics
+        )
+    except ImportError:
+        pass
