@@ -77,7 +77,12 @@ class E2CRFConfig:
     tau_0: float = 0.1
     tau_warn: float = 0.5
     policy: str = "event"  # "event" | "macro"
-    level: str = "kv"  # "kv" | "score" | "token"
+    # Default level is "score": full-step skipping is the mode that actually
+    # beats the uncached baseline on TPU.  "kv" (the reference's mechanism)
+    # is kept for parity but is a measured slowdown at d_model=72 — a
+    # "skipped" KV step still runs Q, attention and the full FFN
+    # (docs/benchmarks/README.md), so only pick it for parity studies.
+    level: str = "score"  # "score" | "token" | "kv"
     # Static recompute budget for level="token": the number of tokens
     # recomputed end-to-end on a TOPK step.  Compile-time constant (shapes
     # the gathered block); must be ≥1 and ≤ max_len for the token level.
@@ -103,6 +108,25 @@ class E2CRFConfig:
     freq_decomp_interval: int = 10
     # Reference behavior: cache persists across sample batches (quirk Q5).
     reset_between_batches: bool = False
+    # ---- Error-budget guard rail (score/token levels) -------------------
+    # The skip budget assumes accumulated ε̂ drift grows linearly at the
+    # measured per-step rate.  When extrapolation leaves that regime (long
+    # skip spans at a loose τ₀ / large R), realized error explodes while the
+    # predicted budget stays ≈ τ₀ — silent distribution collapse
+    # (docs/benchmarks/token_level.md: τ₀=3 hybrid → SW 88.8; pure-periodic
+    # R=50 → SW 492).  Every full refresh therefore measures the REALIZED
+    # relative extrapolation error over the span it just closed and compares
+    # it with the predicted budget.  ``guard`` controls the post-sample
+    # response: "warn" (default) emits a warning, "strict" raises,
+    # "off" disables.  Flagged when realized/predicted exceeds
+    # ``guard_overrun_tol`` or mean realized error exceeds ``guard_abs_tol``.
+    guard: str = "warn"  # "warn" | "strict" | "off"
+    guard_overrun_tol: float = 5.0
+    guard_abs_tol: float = 1.0
+    # Closed-loop τ₀ auto-calibration: scale the effective skip budget by
+    # the running realized/predicted overrun (EMA), so a collapsing
+    # configuration tightens itself instead of silently degrading.
+    auto_calibrate: bool = False
 
     @property
     def macro_interval(self) -> int:
@@ -117,6 +141,7 @@ class E2CRFConfig:
             tau_0=jnp.asarray(self.tau_0, jnp.float32),
             tau_warn=jnp.asarray(self.tau_warn, jnp.float32),
             random_probe_ratio=jnp.asarray(self.random_probe_ratio, jnp.float32),
+            guard_abs_tol=jnp.asarray(self.guard_abs_tol, jnp.float32),
         )
 
     def static_key(self) -> tuple:
@@ -133,6 +158,7 @@ class E2CRFConfig:
             self.hermite_order,
             self.freq_decomp_interval,
             self.energy_weighting,
+            self.auto_calibrate,
         )
 
 
@@ -144,6 +170,7 @@ class PolicyParams(struct.PyTreeNode):
     tau_0: Array
     tau_warn: Array
     random_probe_ratio: Array
+    guard_abs_tol: Array
 
 
 class CacheState(struct.PyTreeNode):
@@ -188,6 +215,15 @@ class CacheState(struct.PyTreeNode):
     full_steps: Array  # () int32
     mixed_steps: Array  # () int32
     cached_steps: Array  # () int32 — pure-cache / skipped steps
+    # Error-budget guard telemetry (score/token levels): realized vs
+    # predicted relative extrapolation error per closed skip span, measured
+    # at each full refresh that followed ≥1 skipped/partial step.
+    realized_err_sum: Array  # () float
+    predicted_err_sum: Array  # () float
+    realized_err_max: Array  # () float
+    guard_measurements: Array  # () int32
+    # EMA of realized/predicted, drives τ₀ auto-calibration (init 1.0).
+    overrun: Array  # () float
 
 
 def init_cache_state(
@@ -255,6 +291,11 @@ def init_cache_state(
         full_steps=zero,
         mixed_steps=zero,
         cached_steps=zero,
+        realized_err_sum=jnp.zeros((), dtype),
+        predicted_err_sum=jnp.zeros((), dtype),
+        realized_err_max=jnp.zeros((), dtype),
+        guard_measurements=zero,
+        overrun=jnp.ones((), dtype),
     )
 
 
@@ -331,7 +372,23 @@ def event_policy(
     return mode, mask
 
 
-def score_skip_decision(pp: PolicyParams, state: CacheState) -> Array:
+def effective_tau(cfg: E2CRFConfig, pp: PolicyParams, state: CacheState) -> Array:
+    """Skip budget, optionally tightened by the realized/predicted overrun.
+
+    With ``auto_calibrate`` the budget is τ₀ / max(1, overrun-EMA): a
+    configuration whose extrapolation under-predicts its realized error
+    (the silent-collapse regime) automatically earns a smaller budget and
+    refreshes more often.  Well-calibrated configurations (overrun ≤ 1)
+    are untouched.
+    """
+    if not cfg.auto_calibrate:
+        return pp.tau_0
+    return pp.tau_0 / jnp.maximum(1.0, state.overrun)
+
+
+def score_skip_decision(
+    cfg: E2CRFConfig, pp: PolicyParams, state: CacheState
+) -> Array:
     """Score-level skip gate: True → run the network this step.
 
     Error feedback: skip while the accumulated predicted ε̂ drift stays
@@ -342,7 +399,7 @@ def score_skip_decision(pp: PolicyParams, state: CacheState) -> Array:
     # run one extra full step to measure it before trusting the skip budget.
     is_calibration = ((step - state.last_full_step) == 1) & (state.drift_rate == 0)
     interval_expired = (step - state.last_full_step) >= pp.R
-    budget_exceeded = state.err_acc >= pp.tau_0
+    budget_exceeded = state.err_acc >= effective_tau(cfg, pp, state)
     return state.cold | is_calibration | interval_expired | budget_exceeded
 
 
@@ -392,11 +449,59 @@ def token_policy(
     since_full = state.step - state.last_full_step
     is_calibration = (since_full == 1) & (jnp.sum(state.delta_tok) == 0)
     full = state.cold | is_calibration | (since_full >= pp.R)
-    skip = (~full) & (predicted_err <= pp.tau_0)
+    skip = (~full) & (predicted_err <= effective_tau(cfg, pp, state))
     mode = jnp.where(
         full, TOKEN_FULL, jnp.where(skip, TOKEN_SKIP, TOKEN_TOPK)
     ).astype(jnp.int32)
     return mode, w_drift, mean_drift
+
+
+# Per-measurement floor on the predicted budget when forming the overrun
+# ratio: spans whose realized error is below ~this are too small to collapse
+# anything, so tiny predicted values must not inflate the ratio.
+GUARD_PREDICTED_FLOOR = 0.05
+
+
+def record_guard_measurement(
+    state: CacheState,
+    measured: Array,
+    realized: Array,
+    predicted: Array,
+    abs_target: Array,
+) -> CacheState:
+    """Fold one closed skip span's realized-vs-predicted error into the
+    guard telemetry (no-op where ``measured`` is False).
+
+    ``realized`` = relative ε̂ extrapolation error over the span just closed
+    by a full refresh; ``predicted`` = the error budget the skip decisions
+    had accumulated for that span (err_acc at refresh time);
+    ``abs_target`` = the absolute per-span error the configuration deems
+    acceptable (``guard_abs_tol``, traced).
+
+    The overrun state that drives τ₀ auto-calibration is a peak-hold with
+    decay over the per-measurement miscalibration factor — the worse of
+    realized/predicted (extrapolation-divergence failure mode) and
+    realized/abs_target (budget-too-loose failure mode), clipped to [0, 10]
+    so end-of-trajectory spikes (ε̂ norms shrink as t→0, inflating relative
+    errors) can't poison the calibration permanently.
+    """
+    dt = state.realized_err_sum.dtype
+    m = measured.astype(dt)
+    ratio = realized / jnp.maximum(predicted, GUARD_PREDICTED_FLOOR)
+    miscal = jnp.clip(
+        jnp.maximum(ratio, realized / jnp.maximum(abs_target, 1e-3)), 0.0, 10.0
+    ).astype(dt)
+    return state.replace(
+        realized_err_sum=state.realized_err_sum + m * realized.astype(dt),
+        predicted_err_sum=state.predicted_err_sum + m * predicted.astype(dt),
+        realized_err_max=jnp.maximum(
+            state.realized_err_max, m * realized.astype(dt)
+        ),
+        guard_measurements=state.guard_measurements + measured.astype(jnp.int32),
+        overrun=jnp.where(
+            measured, jnp.maximum(0.9 * state.overrun, miscal), state.overrun
+        ),
+    )
 
 
 # ----------------------------------------------------------------- updates
@@ -505,6 +610,9 @@ def cache_stats(state: CacheState) -> dict[str, Any]:
     total_steps = int(state.full_steps) + int(state.mixed_steps) + int(
         state.cached_steps
     )
+    n_guard = int(state.guard_measurements)
+    realized_sum = float(state.realized_err_sum)
+    predicted_sum = float(state.predicted_err_sum)
     return {
         "cache_hit_ratio": hits / total if total else 0.0,
         "recompute_count": recompute,
@@ -516,4 +624,15 @@ def cache_stats(state: CacheState) -> dict[str, Any]:
         "steps_skipped_ratio": (
             int(state.cached_steps) / total_steps if total_steps else 0.0
         ),
+        # Error-budget guard telemetry (score/token levels; zero elsewhere).
+        "guard_measurements": n_guard,
+        "realized_err_mean": realized_sum / n_guard if n_guard else 0.0,
+        "predicted_err_mean": predicted_sum / n_guard if n_guard else 0.0,
+        "realized_err_max": float(state.realized_err_max),
+        "budget_overrun_ratio": (
+            realized_sum / max(predicted_sum, n_guard * GUARD_PREDICTED_FLOOR)
+            if n_guard
+            else 0.0
+        ),
+        "overrun_ema": float(state.overrun),
     }

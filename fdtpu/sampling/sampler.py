@@ -38,6 +38,7 @@ from fdtpu.cache.e2crf import (
     event_policy,
     init_cache_state,
     macro_policy,
+    record_guard_measurement,
     score_skip_decision,
     token_policy,
     update_after_forward,
@@ -79,7 +80,8 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
             "eps_gap2", "drift_rate", "err_acc", "last_full_step", "cold",
             "crf_low", "crf_high_hist", "crf_t_hist", "hist_len", "step",
             "recompute_count", "cache_hit_count", "full_steps", "mixed_steps",
-            "cached_steps",
+            "cached_steps", "realized_err_sum", "predicted_err_sum",
+            "realized_err_max", "guard_measurements", "overrun",
         )
     }
     return state.replace(
@@ -118,9 +120,12 @@ def sample_chain(
     """
     if cache_cfg is not None:
         pp = cache_cfg.policy_params()
-        # Normalize traced fields so the static hash is sweep-invariant.
+        # Normalize traced/Python-side fields so the static hash is
+        # sweep-invariant (the guard knobs only act post-sample in Python).
         cache_cfg = dataclasses.replace(
-            cache_cfg, K=0, R=0, tau_0=0.0, tau_warn=0.0, random_probe_ratio=0.0
+            cache_cfg, K=0, R=0, tau_0=0.0, tau_warn=0.0,
+            random_probe_ratio=0.0, guard="", guard_overrun_tol=0.0,
+            guard_abs_tol=0.0,
         )
     else:
         pp = None
@@ -261,6 +266,13 @@ def _sample_chain(
             eps_pred = eps_predict(c, steps_since)
             rel = jnp.linalg.norm(eps_new - eps_pred) / denom
             drift_rate = jnp.where(is_cold, jnp.zeros((), x.dtype), rel / steps_since)
+            # Guard telemetry: a refresh that closes a real skip span
+            # (steps_since > 1) measures how far the extrapolation actually
+            # drifted vs what the budget predicted (err_acc).
+            c = record_guard_measurement(
+                c, (~is_cold) & (steps_since > 1), rel, c.err_acc,
+                pp.guard_abs_tol,
+            )
             c = c.replace(
                 cold=jnp.zeros((), bool),
                 eps_prev2=jnp.where(is_cold, eps_new, c.eps_prev),
@@ -289,7 +301,7 @@ def _sample_chain(
             )
             return score, c
 
-        compute = score_skip_decision(pp, cache)
+        compute = score_skip_decision(cache_cfg, pp, cache)
         score, cache = jax.lax.cond(compute, full_fn, skip_fn, cache)
         score = maybe_fresca(score, t)
         z = jax.random.normal(k_noise, x.shape, x.dtype)
@@ -355,6 +367,16 @@ def _sample_chain(
                 jnp.zeros((max_len,), jnp.float32),
                 _tok_residual_rate(eps_new, eps_pred, age),
             ).astype(c.delta_tok.dtype)
+            # Guard telemetry: realized mean per-token extrapolation error
+            # over the spans just closed (rate × age undoes the per-step
+            # normalization) vs the accumulated predicted budget.
+            realized = jnp.mean(
+                rate.astype(jnp.float32) * jnp.maximum(age, 1.0)
+            )
+            c = record_guard_measurement(
+                c, (~c.cold) & (jnp.max(age) > 1), realized, c.err_acc,
+                pp.guard_abs_tol,
+            )
             c = c.replace(
                 k=kv_new[0],
                 v=kv_new[1],
@@ -514,6 +536,26 @@ class DiffusionSampler:
                 "level='token' needs 1 <= token_budget <= max_len "
                 f"(got {self.cache_config.token_budget}, max_len {self.max_len})"
             )
+        if (
+            self.cache_config is not None
+            and self.cache_config.level == "kv"
+            and self.cache_config.policy == "event"
+            and self.cache_config.tau_0 < 1.0
+        ):
+            # The KV-level CRF drift signal is unnormalized (reference
+            # parity): calibrated operating points are tau_0 ∈ [1, 1000]
+            # (cli/ablation_cache.py sweep) — the reference's 0.1 default
+            # makes tau_warn fire every step and no step is ever cached.
+            import warnings
+
+            warnings.warn(
+                f"level='kv' with policy='event' and tau_0="
+                f"{self.cache_config.tau_0} < 1: the KV-level CRF drift is "
+                "unnormalized, so this threshold triggers recomputation "
+                "every step (no caching). Calibrated values are "
+                "tau_0 in [1, 1000]; see cli/ablation_cache.py.",
+                stacklevel=2,
+            )
         self.last_cache_state: Optional[CacheState] = None
 
         self.use_fresca = use_fresca
@@ -614,7 +656,50 @@ class DiffusionSampler:
             all_samples.append(np.asarray(jax.block_until_ready(x)))
 
         self.last_cache_state = cache_state
+        self._check_error_budget()
         return np.concatenate(all_samples, axis=0)
+
+    def _check_error_budget(self) -> None:
+        """Collapse detector (runs after every cached sample() call).
+
+        The skip budget assumes the accumulated ε̂ drift it predicts tracks
+        the realized extrapolation error.  When realized error runs far
+        ahead of predicted (budget_overrun_ratio) or is absolutely large
+        (realized_err_mean), the operating point is in the
+        silent-distribution-collapse regime documented in
+        docs/benchmarks/token_level.md (τ₀=3 → SW 88.8, R=50 → SW 492):
+        warn by default, raise under guard="strict".
+        """
+        cfg = self.cache_config
+        if (
+            cfg is None
+            or cfg.guard == "off"
+            or self.last_cache_state is None
+        ):
+            return
+        stats = self.get_cache_stats()
+        if not stats.get("guard_measurements"):
+            return
+        overrun = stats["budget_overrun_ratio"]
+        realized = stats["realized_err_mean"]
+        if overrun <= cfg.guard_overrun_tol and realized <= cfg.guard_abs_tol:
+            return
+        msg = (
+            "E2-CRF error-budget guard: realized extrapolation error "
+            f"(mean {realized:.3f}, max {stats['realized_err_max']:.3f} "
+            f"over {stats['guard_measurements']} refreshes) exceeds the "
+            f"predicted budget by {overrun:.1f}x "
+            f"(tolerances: overrun {cfg.guard_overrun_tol}, "
+            f"abs {cfg.guard_abs_tol}). The sampled distribution is likely "
+            "collapsing. Lower tau_0 and/or R, or set "
+            "cache_kwargs={'auto_calibrate': True} to tighten the budget "
+            "automatically. Set guard='off' to silence."
+        )
+        if cfg.guard == "strict":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
 
     def get_cache_stats(self) -> dict[str, Any]:
         from fdtpu.cache.e2crf import cache_stats

@@ -42,7 +42,12 @@ def test_mesh_sampling_matches_single_device(cache_kwargs):
     s2 = sharded.sample(16, 8, key=jax.random.PRNGKey(1))
     np.testing.assert_allclose(s1, s2, rtol=2e-4, atol=1e-4)
     if cache_kwargs is not None:
-        assert single.get_cache_stats() == sharded.get_cache_stats()
+        st1, st2 = single.get_cache_stats(), sharded.get_cache_stats()
+        assert st1.keys() == st2.keys()
+        for k in st1:
+            # Counters must match exactly; float telemetry (guard error
+            # sums) only up to cross-device reduction-order jitter.
+            assert st1[k] == pytest.approx(st2[k], rel=1e-5), k
 
 
 def test_mesh_sampling_multi_batch_score_level():
