@@ -81,6 +81,53 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(put, tree)
 
 
+def tp_param_spec(path: tuple, leaf: Any) -> P:
+    """Megatron-style tensor-parallel PartitionSpec for a score-model param.
+
+    Column-parallel QKV/FFN-in (shard the output-feature axis over
+    ``model``), row-parallel attention-out/FFN-out (shard the contracting
+    axis — XLA inserts the psum over ICI).  Applies to the stacked
+    per-layer trees produced by ``init_score_model`` (leading ``L`` axis);
+    everything else (embeddings, norms, biases of row-parallel layers)
+    stays replicated.
+    """
+    keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    last = keys[-1] if keys else None
+    if "attn" in keys:
+        if last == "in_proj_w":
+            return P(None, None, "model")  # (L, D, 3D): column-parallel
+        if last == "in_proj_b":
+            return P(None, "model")
+        if last == "out_w":
+            return P(None, "model", None)  # (L, D, D): row-parallel
+        return P()
+    if "linear1" in keys:
+        if last == "w":
+            return P(None, None, "model")  # (L, D, F): column-parallel
+        if last == "b":
+            return P(None, "model")
+    if "linear2" in keys and last == "w":
+        return P(None, "model", None)  # (L, F, D): row-parallel
+    return P()
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    """Place a param pytree on the mesh: tensor-parallel specs over the
+    ``model`` axis when it has >1 device, fully replicated otherwise.
+
+    Optimizer state built from these arrays (``tx.init``) inherits the
+    placements, so the whole train state is sharded consistently.
+    """
+    if mesh.shape.get("model", 1) <= 1:
+        return replicate(mesh, params)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(
+            jax.numpy.asarray(x), NamedSharding(mesh, tp_param_spec(path, x))
+        ),
+        params,
+    )
+
+
 def pad_to_multiple(batch: np.ndarray, multiple: int) -> tuple[np.ndarray, int]:
     """Pad the batch axis up to a multiple (for even sharding); returns
     (padded, original_size)."""

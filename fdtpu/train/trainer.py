@@ -33,7 +33,12 @@ import optax
 
 from fdtpu.data.datamodules import Datamodule
 from fdtpu.diffusion.losses import sde_loss
-from fdtpu.dist.mesh import create_mesh, data_sharding, pad_to_multiple, replicate
+from fdtpu.dist.mesh import (
+    create_mesh,
+    data_sharding,
+    pad_to_multiple,
+    shard_params,
+)
 from fdtpu.models.score_models import ScoreModel, score_apply
 from fdtpu.train.checkpoint import save_checkpoint
 from fdtpu.train.state import (
@@ -64,6 +69,7 @@ class Trainer:
         run_id: Optional[str] = None,
         seed: int = 42,
         use_mesh: bool = True,
+        mesh: Optional[Any] = None,
         log_every_n_steps: int = 50,
         callbacks: Optional[list] = None,
         accumulate_grad_batches: int = 1,
@@ -77,7 +83,14 @@ class Trainer:
         ``resume``: restore the latest mid-training snapshot from
         ``run_dir/resume`` (params + opt_state + PRNG key) and continue the
         interrupted run exactly.  ``save_resume_state``: write that snapshot
-        at every epoch end."""
+        at every epoch end.
+
+        ``mesh``: an explicit `jax.sharding.Mesh` to train over.  The batch
+        axis shards over its ``data`` axis; when its ``model`` axis has >1
+        device the FFN and attention projections are tensor-parallel
+        (fdtpu.dist.mesh.tp_param_spec) with XLA inserting the collectives.
+        Default (``use_mesh=True``, ``mesh=None``) builds a data-only mesh
+        over all visible devices."""
         self.max_epochs = max_epochs
         self.gradient_clip_val = gradient_clip_val
         self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
@@ -85,6 +98,7 @@ class Trainer:
         self.save_resume_state = save_resume_state
         self.seed = seed
         self.use_mesh = use_mesh
+        self.mesh = mesh
         self.log_every_n_steps = log_every_n_steps
         self.callbacks = callbacks or []
 
@@ -131,10 +145,16 @@ class Trainer:
                     start_epoch, resumed_global_step,
                 )
 
-        mesh = create_mesh() if self.use_mesh else None
+        if self.mesh is not None:
+            mesh = self.mesh
+        else:
+            mesh = create_mesh() if self.use_mesh else None
         n_shards = mesh.shape["data"] if mesh is not None else 1
         if mesh is not None:
-            state = replicate(mesh, state)
+            # Replicated on a data-only mesh; tensor-parallel over the
+            # ``model`` axis otherwise (optimizer-state leaves mirror the
+            # param tree paths, so the same spec rule shards them too).
+            state = shard_params(mesh, state)
 
         def apply_fn(params, xn, t, train, rngs):
             return score_apply(

@@ -78,6 +78,62 @@ def test_data_parallel_loss_matches_single_device():
     np.testing.assert_allclose(float(single), float(sharded), rtol=1e-5)
 
 
+def test_trainer_tp_mesh_matches_data_only():
+    """User-facing Trainer over a dp=4 × tp=2 mesh (tensor-parallel FFN +
+    attention via tp_param_spec) must reproduce the data-only mesh run."""
+    import tempfile
+
+    from fdtpu.data import SyntheticDatamodule
+    from fdtpu.diffusion import VPScheduler
+    from fdtpu.models import ScoreModelConfig, init_score_model
+    from fdtpu.models.score_models import ScoreModel
+    from fdtpu.train import Trainer
+
+    dm = SyntheticDatamodule(
+        data_dir=tempfile.mkdtemp(), max_len=16, num_samples=64,
+        batch_size=16, fourier_transform=True, standardize=True,
+    )
+    dm.prepare_data()
+    dm.setup()
+    cfg = ScoreModelConfig(
+        n_channels=1, max_len=16, d_model=8, num_layers=2, n_head=2,
+        dim_feedforward=16,
+    )
+    sde = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(16)
+
+    def fresh():
+        return ScoreModel(
+            config=cfg, variables=init_score_model(jax.random.PRNGKey(0), cfg),
+            scheduler=sde, num_training_steps=8,
+        )
+
+    t_dp = Trainer(
+        max_epochs=1, run_dir=tempfile.mkdtemp(), seed=1,
+        save_resume_state=False,
+    )
+    m_dp = t_dp.fit(fresh(), dm)
+
+    mesh = create_mesh(MeshConfig(model=2))
+    assert mesh.shape == {"data": 4, "model": 2}
+    t_tp = Trainer(
+        max_epochs=1, run_dir=tempfile.mkdtemp(), seed=1, mesh=mesh,
+        save_resume_state=False,
+    )
+    m_tp = t_tp.fit(fresh(), dm)
+
+    assert np.isfinite(t_tp.best_val_loss)
+    np.testing.assert_allclose(
+        t_tp.best_val_loss, t_dp.best_val_loss, rtol=1e-4
+    )
+    for x, y in zip(
+        jax.tree.leaves(m_dp.variables["params"]),
+        jax.tree.leaves(m_tp.variables["params"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_graft_entry_contract():
     """The driver contract: entry() compiles; dryrun_multichip(8) runs."""
     import importlib.util
