@@ -220,13 +220,143 @@ def blockdiag_mha_reference(q: Array, k: Array, v: Array) -> Array:
     return out.reshape(b, t, d)
 
 
+def _bd_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                   kbd_ref, vbd_ref, *, n_head: int, head_dim: int, seq: int,
+                   t_pad: int, scale: float):
+    """Block-diagonal attention backward, one batch element per grid cell.
+
+    Same packing trick as the forward: with K_bd/V_bd in VMEM the whole
+    backward is five full-width MXU matmuls (recomputed scores, dW, dQ,
+    dK, dV) instead of 5·H tiny per-head dots —
+
+        W  = softmax(q @ K_bd · scale)       (recompute, cheap)
+        dW = g @ V_bdᵀ                        dS = W ⊙ (dW − Σ dW⊙W) · scale
+        dq = dS @ K_bdᵀ    dkᵀ = qᵀ @ dS[blk]    dv = (Wᵀ @ g)[blk]
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        kbd_ref[:] = jnp.zeros_like(kbd_ref)
+        vbd_ref[:] = jnp.zeros_like(vbd_ref)
+
+    for h in range(n_head):
+        kbd_ref[h * head_dim:(h + 1) * head_dim, h * t_pad:h * t_pad + seq] = (
+            k_ref[0, h]
+        )
+        vbd_ref[h * t_pad:h * t_pad + seq, h * head_dim:(h + 1) * head_dim] = (
+            v_ref[0, h]
+        )
+
+    q = q_ref[0]
+    g = g_ref[0]
+    scores = jax.lax.dot_general(
+        q, kbd_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (T, H·T')
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where((col % t_pad) < seq, scores, -jnp.inf)
+    s3 = scores.reshape(seq, n_head, t_pad)
+    s3 = s3 - jnp.max(s3, axis=-1, keepdims=True)
+    w3 = jnp.exp(s3)
+    w3 = w3 / jnp.sum(w3, axis=-1, keepdims=True)  # (T, H, T') fp32
+
+    # dW = g @ V_bdᵀ — the zero off-block rows of V_bd confine each block's
+    # contraction to its own head's channels.
+    dw = jax.lax.dot_general(
+        g, vbd_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, H·T')
+    dw3 = dw.reshape(seq, n_head, t_pad)
+    r = jnp.sum(dw3 * w3, axis=-1, keepdims=True)
+    ds = ((w3 * (dw3 - r)) * scale).reshape(seq, n_head * t_pad)
+    ds_c = ds.astype(kbd_ref.dtype)
+    w_c = w3.reshape(seq, n_head * t_pad).astype(vbd_ref.dtype)
+
+    dq_ref[0] = jax.lax.dot_general(
+        ds_c, kbd_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)  # (T, D)
+
+    gq = jax.lax.dot_general(
+        q, ds_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (D, H·T') — block (h, h) is dk_hᵀ
+    gv = jax.lax.dot_general(
+        w_c, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (H·T', D) — block (h, h) is dv_h
+    for h in range(n_head):
+        dk_ref[0, h] = gq[
+            h * head_dim:(h + 1) * head_dim, h * t_pad:h * t_pad + seq
+        ].astype(dk_ref.dtype)
+        dv_ref[0, h] = gv[
+            h * t_pad:h * t_pad + seq, h * head_dim:(h + 1) * head_dim
+        ].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def blockdiag_mha_bwd(
+    q: Array, k: Array, v: Array, g: Array, interpret: bool = False
+) -> tuple[Array, Array, Array]:
+    """Pallas backward for :func:`blockdiag_mha` (same input layouts;
+    ``g`` is the cotangent of the merged (B, T, D) output).  Falls back to
+    the XLA reference VJP when the fp32 score/weight tensors would not fit
+    VMEM (long sequences)."""
+    b, t, d = q.shape
+    h, dh = k.shape[1], k.shape[2]
+    t_pad = _round_up(t, 128)
+    isz = jnp.dtype(q.dtype).itemsize
+    pack_bytes = isz * 2 * d * h * t_pad
+    # W, dW, dS coexist in fp32 plus the packs and the io slabs.
+    vmem = 4 * 3 * t * h * t_pad + pack_bytes + isz * (4 * t * d + 4 * h * dh * t)
+    if vmem > 12 * 1024 * 1024:
+        _, vjp = jax.vjp(blockdiag_mha_reference, q, k, v)
+        return vjp(g)
+
+    return pl.pallas_call(
+        functools.partial(
+            _bd_bwd_kernel, n_head=h, head_dim=dh, seq=t, t_pad=t_pad,
+            scale=1.0 / math.sqrt(dh),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, dh, t), k.dtype),
+            jax.ShapeDtypeStruct((b, h, t, dh), v.dtype),
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, dh, t), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, t, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, t, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, dh, t), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, t, dh), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, h * t_pad), q.dtype),
+            pltpu.VMEM((h * t_pad, d), q.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, g)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def blockdiag_mha_trainable(q: Array, k: Array, v: Array, q_tile: int = 256) -> Array:
-    """Differentiable wrapper: fused Pallas forward, XLA backward.
+    """Differentiable wrapper: fused Pallas forward AND backward.
 
-    The backward recomputes the attention weights with XLA einsums and
-    differentiates through them — the forward still avoids materializing the
-    score tensor in HBM, which is where the time goes."""
+    The backward re-derives the attention weights inside the same
+    block-diagonal packing (five full-width MXU matmuls) instead of paying
+    XLA recomputation over 5·H per-head dots; long sequences that exceed
+    VMEM fall back to the XLA reference VJP."""
     return blockdiag_mha(q, k, v, q_tile=q_tile)
 
 
@@ -236,8 +366,7 @@ def _bd_fwd(q, k, v, q_tile):
 
 def _bd_bwd(q_tile, residuals, g):
     q, k, v = residuals
-    _, vjp = jax.vjp(blockdiag_mha_reference, q, k, v)
-    return vjp(g)
+    return blockdiag_mha_bwd(q, k, v, g)
 
 
 blockdiag_mha_trainable.defvjp(_bd_fwd, _bd_bwd)

@@ -148,12 +148,17 @@ def test_blockdiag_model_forward_matches_einsum():
 
 
 def test_blockdiag_trainable_gradients():
-    """custom_vjp wrapper: gradients flow and match the XLA formulation."""
+    """custom_vjp wrapper: gradients flow and match the XLA formulation
+    (Pallas forward AND Pallas backward, interpreter mode)."""
     from fdtpu.kernels import blockdiag_attention as bda
 
     orig = bda.blockdiag_mha
+    orig_bwd = bda.blockdiag_mha_bwd
     bda.blockdiag_mha = lambda q, k, v, q_tile=256, interpret=False: orig(
         q, k, v, q_tile=q_tile, interpret=True
+    )
+    bda.blockdiag_mha_bwd = lambda q, k, v, g, interpret=False: orig_bwd(
+        q, k, v, g, interpret=True
     )
     try:
         B, T, H, Dh = 2, 16, 2, 6
@@ -173,3 +178,46 @@ def test_blockdiag_trainable_gradients():
             np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), atol=1e-3)
     finally:
         bda.blockdiag_mha = orig
+        bda.blockdiag_mha_bwd = orig_bwd
+
+
+def test_blockdiag_bwd_kernel_matches_reference_vjp():
+    """The Pallas backward kernel's (dq, dk, dv) equal the XLA reference
+    VJP exactly per input layout (fp32 tolerances; interpreter mode)."""
+    from fdtpu.kernels.blockdiag_attention import (
+        blockdiag_mha_bwd,
+        blockdiag_mha_reference,
+    )
+
+    B, T, H, Dh = 2, 20, 3, 6
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H * Dh))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, Dh, T))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, Dh))
+    g = jax.random.normal(jax.random.PRNGKey(3), (B, T, H * Dh))
+
+    out = blockdiag_mha_bwd(q, k, v, g, interpret=True)
+    _, vjp = jax.vjp(blockdiag_mha_reference, q, k, v)
+    ref = vjp(g)
+    for got, want in zip(out, ref):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5
+        )
+
+
+def test_blockdiag_bwd_long_sequence_falls_back():
+    """Sequences whose fp32 score tensors exceed VMEM route through the
+    XLA reference VJP (no Pallas call → runs on CPU without interpret)."""
+    from fdtpu.kernels.blockdiag_attention import (
+        blockdiag_mha_bwd,
+        blockdiag_mha_reference,
+    )
+
+    B, T, H, Dh = 1, 600, 12, 6
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H * Dh))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, Dh, T))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, Dh))
+    g = jax.random.normal(jax.random.PRNGKey(3), (B, T, H * Dh))
+    out = blockdiag_mha_bwd(q, k, v, g)  # would crash if Pallas on CPU
+    _, vjp = jax.vjp(blockdiag_mha_reference, q, k, v)
+    for got, want in zip(out, vjp(g)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
