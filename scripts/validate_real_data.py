@@ -1,0 +1,275 @@
+#!/usr/bin/env python
+"""Table-2 real-data reproduction harness (VERDICT round-2 ask #4).
+
+One command that — given pre-staged raw files — runs the full reference
+quality protocol per dataset: prepare → train (time and frequency domains)
+→ sample (uncached baseline + E²-CRF cached) → Wasserstein metrics, and
+writes ``docs/benchmarks/table2_<dataset>.json`` shaped like BASELINE.md's
+Table 2 rows (paper Table 2, p.8; reference ``cmd/sample.py:99-135``).
+
+Raw files to pre-stage under ``--data-dir`` (no network egress here;
+see fdtpu.data.fixtures for the exact schemas):
+
+  ecg            <data-dir>/ecg/mitbih_{train,test}.csv        (Kaggle shayanfazeli/heartbeat)
+  nasdaq         <data-dir>/nasdaq/stocks/*.csv                (Kaggle jacksoncrow/stock-market-dataset)
+  nasa_charge    <data-dir>/nasa/cleaned_dataset/{metadata.csv,data/*.csv}
+  nasa_discharge (same files as nasa_charge)                   (Kaggle patrickfleith/nasa-battery-dataset)
+  droughts       <data-dir>/droughts/train_timeseries/train_timeseries.csv
+                                                               (Kaggle cdminix/us-drought-meteorological-data)
+  mimic          <data-dir>/mimiciii/all_hourly_data.h5        (MIMIC-Extract, restricted)
+  synthetic      nothing (generated)
+
+``--fixture`` writes schema-accurate tiny fixtures instead (plumbing
+proof only — metric numbers on fixtures are meaningless).  ``--smoke``
+shrinks the model/protocol for CI.
+
+Usage:
+  python scripts/validate_real_data.py ecg --data-dir data
+  python scripts/validate_real_data.py synthetic --smoke
+  python scripts/validate_real_data.py nasdaq --fixture --smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import os
+
+import jax
+
+if os.environ.get("FDTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FDTPU_PLATFORM"])
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fdtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import numpy as np
+
+from fdtpu.utils.config import compose_config
+
+
+def _load_cli(name: str):
+    spec = importlib.util.spec_from_file_location(
+        f"_cli_{name}", REPO / "cli" / f"{name}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+# dataset key → (config datamodule group, extra train overrides, fixture writer)
+DATASETS = {
+    "ecg": ("ecg", [], "write_ecg_fixture"),
+    "nasdaq": ("nasdaq", [], "write_nasdaq_fixture"),
+    "nasa_charge": ("nasa", ["datamodule.subdataset=charge"], "write_nasa_fixture"),
+    "nasa_discharge": (
+        "nasa", ["datamodule.subdataset=discharge"], "write_nasa_fixture"
+    ),
+    "droughts": ("usdroughts", [], "write_droughts_fixture"),
+    "mimic": ("mimiciii", [], "write_mimic_fixture"),
+    "synthetic": ("synthetic", [], None),
+}
+
+# BASELINE.md Table-2 rows (paper Table 2, p.8): time-domain sliced
+# Wasserstein, baseline vs E²-CRF cached, mean ± std.
+REFERENCE_TABLE2 = {
+    "ecg": {"baseline_sw": [0.015, 0.000], "cached_sw": [0.015, 0.000]},
+    "nasdaq": {"baseline_sw": [43.602, 2.044], "cached_sw": [44.215, 2.078]},
+    "nasa_charge": {"baseline_sw": [0.229, 0.008], "cached_sw": [0.232, 0.008]},
+    "nasa_discharge": {"baseline_sw": [2.028, 0.082], "cached_sw": [2.056, 0.084]},
+    "droughts": {"baseline_sw": [0.738, 0.020], "cached_sw": [0.746, 0.020]},
+}
+
+# Validated cached operating point (docs/benchmarks/README.md headline arm).
+CACHED_KWARGS = {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1}
+
+
+def _metric_rows(results: dict) -> dict:
+    """Extract Table-2-shaped rows from a MetricCollection result dict."""
+    rows = {}
+    for domain_prefix in ("time_", "freq_", "spectral_"):
+        for stem in ("sliced_wasserstein", "marginal_wasserstein"):
+            key = f"{domain_prefix}{stem}_mean"
+            if key in results:
+                rows[key] = results[key]
+            all_key = f"{domain_prefix}{stem}_all"
+            if all_key in results:
+                rows[f"{domain_prefix}{stem}_std"] = float(
+                    np.std(results[all_key])
+                )
+        floor = f"{domain_prefix}sliced_wasserstein_mean_self"
+        if floor in results:
+            rows[floor] = results[floor]
+    return rows
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("dataset", choices=sorted(DATASETS))
+    parser.add_argument("--data-dir", type=Path, default=REPO / "data")
+    parser.add_argument("--run-dir", type=Path, default=None,
+                        help="training run dir (default <repo>/lightning_logs)")
+    parser.add_argument("--out", type=Path, default=None)
+    parser.add_argument("--epochs", type=int, default=40)
+    parser.add_argument("--num-samples", type=int, default=1000)
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--sample-batch", type=int, default=128)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--domains", nargs="+", default=["frequency", "time"],
+                        choices=["time", "frequency"])
+    parser.add_argument("--fixture", action="store_true",
+                        help="write schema fixtures into --data-dir first "
+                             "(plumbing proof; metric numbers meaningless)")
+    parser.add_argument("--smoke", action="store_true",
+                        help="tiny model + 1 epoch + few steps (CI)")
+    args = parser.parse_args()
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
+                        force=True)
+
+    group, extra, fixture_writer = DATASETS[args.dataset]
+    if args.fixture:
+        if fixture_writer is None:
+            logging.info("synthetic generates its own data; --fixture ignored")
+        else:
+            import fdtpu.data.fixtures as fixtures
+
+            path = getattr(fixtures, fixture_writer)(args.data_dir)
+            logging.info("wrote %s fixture into %s", args.dataset, path)
+
+    if args.smoke:
+        args.epochs = min(args.epochs, 1)
+        args.num_samples = min(args.num_samples, 8)
+        args.steps = min(args.steps, 5)
+        args.sample_batch = min(args.sample_batch, 8)
+
+    run_root = args.run_dir or (REPO / "lightning_logs")
+    out = args.out or (REPO / "docs" / "benchmarks" / f"table2_{args.dataset}.json")
+    out.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "dataset": args.dataset,
+        "protocol": {
+            "epochs": args.epochs, "num_samples": args.num_samples,
+            "steps": args.steps, "seed": args.seed,
+            "cached_kwargs": CACHED_KWARGS, "fixture_data": bool(args.fixture),
+            "smoke": bool(args.smoke),
+        },
+        "reference_table2": REFERENCE_TABLE2.get(args.dataset),
+        "domains": {},
+    }
+    if args.fixture:
+        payload["warning"] = (
+            "fixture data — plumbing proof only, metric numbers are "
+            "meaningless; stage the real raw files for Table-2 comparisons"
+        )
+
+    train_cli = _load_cli("train")
+    sample_cli = _load_cli("sample")
+
+    smoke_overrides = (
+        [
+            "score_model.d_model=16", "score_model.num_layers=2",
+            "score_model.n_head=4", "score_model.dim_feedforward=32",
+        ]
+        if args.smoke
+        else []
+    )
+
+    for domain in args.domains:
+        fourier = domain == "frequency"
+        run_id = f"table2_{args.dataset}_{domain}"
+        train_overrides = [
+            f"datamodule={group}",
+            f"datamodule.data_dir={args.data_dir}",
+            f"fourier_transform={'true' if fourier else 'false'}",
+            "standardize=true",
+            f"trainer.max_epochs={args.epochs}",
+            f"run_dir={run_root}",
+            f"+run_id={run_id}",
+            f"random_seed={args.seed}",
+            *extra,
+            *smoke_overrides,
+        ]
+        logging.info("[%s/%s] training: %s", args.dataset, domain,
+                     " ".join(train_overrides))
+        t0 = time.time()
+        cfg = compose_config(REPO / "configs", "train", train_overrides)
+        runner = train_cli.TrainingRunner(cfg)
+        runner.train()
+        domain_entry = {
+            "run_id": run_id,
+            "train_time_s": round(time.time() - t0, 1),
+            "best_val_loss": runner.trainer.best_val_loss,
+            "arms": {},
+        }
+        payload["domains"][domain] = domain_entry
+        out.write_text(json.dumps(payload, indent=2))  # incremental
+
+        for arm, arm_overrides in (
+            ("baseline", []),
+            (
+                "cached",
+                ["use_cache=true"]
+                + [f"+cache_kwargs.{k}={v}" for k, v in CACHED_KWARGS.items()],
+            ),
+        ):
+            sample_overrides = [
+                f"model_path={run_root}",
+                f"model_id={run_id}",
+                f"num_samples={args.num_samples}",
+                f"num_diffusion_steps={args.steps}",
+                f"+sampler.sample_batch_size={args.sample_batch}",
+                f"random_seed={args.seed}",
+                *arm_overrides,
+            ]
+            logging.info("[%s/%s] sampling %s arm", args.dataset, domain, arm)
+            t0 = time.time()
+            scfg = compose_config(REPO / "configs", "sample", sample_overrides)
+            srunner = sample_cli.SamplingRunner(scfg)
+            srunner.sample()
+            import yaml
+
+            results = yaml.safe_load(
+                (srunner.model_dir / "results.yaml").read_text()
+            )
+            entry = {
+                "sample_time_s": round(time.time() - t0, 1),
+                **_metric_rows(results),
+            }
+            if arm == "cached":
+                entry["cache_stats"] = srunner.sampler.get_cache_stats()
+            domain_entry["arms"][arm] = entry
+            out.write_text(json.dumps(payload, indent=2))  # incremental
+
+    # Side-by-side summary row (paper Table 2 compares the TIME-domain SW
+    # of the frequency-trained model's samples after idft).
+    freq = payload["domains"].get("frequency", {}).get("arms", {})
+    if freq:
+        payload["summary"] = {
+            "fdtpu_baseline_sw": [
+                freq.get("baseline", {}).get("time_sliced_wasserstein_mean"),
+                freq.get("baseline", {}).get("time_sliced_wasserstein_std"),
+            ],
+            "fdtpu_cached_sw": [
+                freq.get("cached", {}).get("time_sliced_wasserstein_mean"),
+                freq.get("cached", {}).get("time_sliced_wasserstein_std"),
+            ],
+            "reference": REFERENCE_TABLE2.get(args.dataset),
+        }
+    out.write_text(json.dumps(payload, indent=2))
+    logging.info("wrote %s", out)
+    print(json.dumps(payload.get("summary") or {"ok": True}))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,3 +151,35 @@ def test_sample_cli_reference_style_overrides(trained_run):
     with open(trained_run / "cache_stats.yaml") as f:
         stats = yaml.safe_load(f)
     assert stats["current_step"] == 3
+
+
+def test_validate_real_data_harness(tmp_path):
+    """Table-2 reproduction harness end-to-end on the ECG raw-file fixture
+    (VERDICT round-2 ask #4): prepare → train → sample both arms → metrics
+    → table2_<dataset>.json with reference rows for side-by-side."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    out_json = tmp_path / "table2_ecg.json"
+    env = dict(os.environ)
+    env.update({"FDTPU_PLATFORM": "cpu", "PYTHONPATH": str(REPO)})
+    result = subprocess.run(
+        [
+            _sys.executable, str(REPO / "scripts" / "validate_real_data.py"),
+            "ecg", "--fixture", "--smoke", "--domains", "frequency",
+            "--data-dir", str(tmp_path / "raw"),
+            "--run-dir", str(tmp_path / "runs"),
+            "--out", str(out_json),
+        ],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    payload = json.loads(out_json.read_text())
+    arms = payload["domains"]["frequency"]["arms"]
+    assert "time_sliced_wasserstein_mean" in arms["baseline"]
+    assert "time_sliced_wasserstein_std" in arms["baseline"]
+    assert arms["cached"]["cache_stats"]["current_step"] == 5
+    assert payload["reference_table2"]["baseline_sw"] == [0.015, 0.0]
+    assert payload["summary"]["fdtpu_cached_sw"][0] is not None
+    assert "warning" in payload  # fixture data flagged as meaningless
