@@ -56,6 +56,154 @@ def measure(sampler, n, steps, min_total_s=12.0, max_repeats=10):
     return t, out.shape[0] / t
 
 
+# TPU v5e (the bench chip) peak dense matmul throughput.  MFU is reported
+# against the bf16 peak for BOTH dtypes — the honest convention given fp32
+# matmuls also execute on the (bf16) MXU via multi-pass.
+V5E_PEAK_FLOPS = 197e12
+
+
+def forward_flops(d_model: int, n_head: int, num_layers: int,
+                  dim_feedforward: int, max_len: int, n_channels: int) -> float:
+    """Analytic dense-matmul FLOPs of one score-network forward
+    (multiply+add = 2 FLOPs; encoder per layer: QKV+out projections
+    8·T·D², attention scores+AV 4·T²·D, FFN 4·T·D·F; plus embed/unembed)."""
+    t, d, f = max_len, d_model, dim_feedforward
+    per_layer = 8 * t * d * d + 4 * t * t * d + 4 * t * d * f
+    embed = 4 * t * n_channels * d
+    return float(num_layers * per_layer + embed)
+
+
+def sampling_mfu(samples_per_s: float, steps: int, flops_fwd: float) -> float:
+    """Model-FLOPs utilization of a sampling run: each diffusion step is
+    one forward per sample."""
+    return samples_per_s * steps * flops_fwd / V5E_PEAK_FLOPS
+
+
+def bench_frontier(args) -> None:
+    """Batch-scaling frontier (VERDICT round-2 ask #2): samples/s/chip and
+    MFU across batch ∈ {128..1024} × dtype for uncached (blockdiag) and
+    cached (score-level) sampling, plus training batch 64→512.  Answers
+    whether the latency-bound batch-128 operating point amortizes at
+    larger batches."""
+    out = Path(__file__).resolve().parent.parent / "docs/benchmarks/throughput.json"
+    payload = json.loads(out.read_text()) if out.exists() else {"results": {}}
+    frontier = payload.setdefault("frontier", {})
+    flops = forward_flops(72, 12, 10, 2048, args.max_len, 1)
+    scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(
+        args.max_len
+    )
+    payload.setdefault("frontier_config", {
+        "steps": args.steps, "max_len": args.max_len,
+        "flops_per_forward": flops, "peak_flops": V5E_PEAK_FLOPS,
+        "mfu_convention": "vs bf16 peak for both dtypes",
+    })
+
+    model_cache: dict[str, ScoreModel] = {}
+
+    def get_model(dtype: str) -> ScoreModel:
+        if dtype not in model_cache:
+            cfg = ScoreModelConfig(
+                n_channels=1, max_len=args.max_len,
+                attention_impl="blockdiag", compute_dtype=dtype,
+            )
+            model_cache[dtype] = ScoreModel(
+                config=cfg,
+                variables=init_score_model(jax.random.PRNGKey(0), cfg),
+                scheduler=scheduler,
+            )
+        return model_cache[dtype]
+
+    for batch in (128, 256, 512, 1024):
+        for dtype in ("float32", "bfloat16"):
+            short = "fp32" if dtype == "float32" else "bf16"
+            for cached in (False, True):
+                name = f"{'cached' if cached else 'uncached'}_{short}_b{batch}"
+                if name in frontier and not args.refresh:
+                    continue
+                kwargs = (
+                    dict(use_cache=True, cache_kwargs={
+                        "level": "score", "R": 100, "tau_0": 1.0,
+                        "eps_order": 1, "guard": "off",
+                    })
+                    if cached
+                    else {}
+                )
+                sampler = DiffusionSampler(
+                    get_model(dtype), sample_batch_size=batch, **kwargs
+                )
+                t, sps = measure(sampler, batch, args.steps)
+                entry = {
+                    "time_s": t, "samples_per_s_chip": sps, "batch": batch,
+                    "steps": args.steps,
+                    "mfu": sampling_mfu(sps, args.steps, flops),
+                }
+                if cached:
+                    stats = sampler.get_cache_stats()
+                    entry["steps_skipped_ratio"] = stats["steps_skipped_ratio"]
+                    # MFU of the FLOPs actually executed (skipped steps
+                    # run no forward).
+                    entry["mfu_executed"] = sampling_mfu(
+                        sps,
+                        int(args.steps * (1 - stats["steps_skipped_ratio"])),
+                        flops,
+                    )
+                frontier[name] = entry
+                print(
+                    f"{name:<22} {t:7.2f}s  {sps:8.1f} samples/s/chip  "
+                    f"mfu {100 * entry['mfu']:.1f}%", file=sys.stderr
+                )
+                out.write_text(json.dumps(payload, indent=2))  # incremental
+
+    # Training frontier: batch 64 → 512, best sampler dtype each.
+    import tempfile
+
+    from fdtpu.data import SyntheticDatamodule
+    from fdtpu.train import Trainer
+
+    for batch in (64, 128, 256, 512):
+        name = f"train_einsum_fp32_b{batch}"
+        if name in frontier and not args.refresh:
+            continue
+        dm = SyntheticDatamodule(
+            data_dir=tempfile.mkdtemp(), max_len=args.max_len,
+            num_samples=2048, batch_size=batch, fourier_transform=True,
+            standardize=True,
+        )
+        dm.prepare_data()
+        dm.setup()
+        cfg = ScoreModelConfig(
+            n_channels=1, max_len=args.max_len, attention_impl="einsum",
+            compute_dtype="float32",
+        )
+
+        def fresh_model():
+            return ScoreModel(
+                config=cfg,
+                variables=init_score_model(jax.random.PRNGKey(0), cfg),
+                scheduler=scheduler,
+                num_training_steps=2 * (2048 // batch),
+            )
+
+        Trainer(max_epochs=1, run_dir=tempfile.mkdtemp(), seed=42,
+                log_every_n_steps=10_000).fit(fresh_model(), dm)  # warm
+        t0 = time.time()
+        Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
+                log_every_n_steps=10_000).fit(fresh_model(), dm)
+        elapsed = time.time() - t0
+        n_consumed = 2 * len(dm.X_train)
+        sps = n_consumed / elapsed
+        frontier[name] = {
+            "time_s_2_epochs": elapsed, "train_samples_per_s_chip": sps,
+            "batch": batch,
+            # fwd + bwd ≈ 3× forward FLOPs per consumed sample.
+            "mfu": sps * 3 * flops / V5E_PEAK_FLOPS,
+        }
+        print(f"{name:<22} {elapsed:7.2f}s  {sps:8.1f} train samples/s/chip  "
+              f"mfu {100 * frontier[name]['mfu']:.1f}%", file=sys.stderr)
+        out.write_text(json.dumps(payload, indent=2))
+    print(json.dumps(frontier))
+
+
 def bench_training(args) -> None:
     """Training throughput (samples/s/chip) per attention/dtype variant:
     full jitted train step (loss → grad → AdamW update), synthetic-freq
@@ -101,9 +249,13 @@ def bench_training(args) -> None:
         Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
                 log_every_n_steps=10_000).fit(fresh_model(), dm)
         elapsed = time.time() - t0
-        sps = 2 * 2000 / elapsed
+        # Derive the consumed-sample count from the datamodule (NumpyLoader
+        # is drop_last=False, so one epoch consumes the full train split).
+        n_consumed = 2 * len(dm.X_train)
+        sps = n_consumed / elapsed
         payload["results"][name] = {
             "time_s_2_epochs": elapsed, "train_samples_per_s_chip": sps,
+            "batch": dm.batch_size, "max_len": args.max_len,
         }
         print(f"{name:<22} {elapsed:7.2f}s  {sps:7.1f} train samples/s/chip",
               file=sys.stderr)
@@ -122,10 +274,18 @@ def main() -> None:
                         help="skip the variant timings (merge into existing json)")
     parser.add_argument("--train", action="store_true",
                         help="measure TRAINING throughput per variant instead")
+    parser.add_argument("--frontier", action="store_true",
+                        help="batch-scaling frontier + MFU (sampling "
+                             "batch 128-1024, training 64-512)")
+    parser.add_argument("--refresh", action="store_true",
+                        help="re-measure frontier points that already exist")
     parser.add_argument("--flagship", action="store_true",
                         help="store --model-id results under the unsuffixed "
                              "flagship keys (bf16_quality/cached_*)")
     args = parser.parse_args()
+    if args.frontier:
+        bench_frontier(args)
+        return
     if args.train:
         bench_training(args)
         return
@@ -157,7 +317,8 @@ def main() -> None:
         )
         sampler = DiffusionSampler(model, sample_batch_size=args.batch)
         t, sps = measure(sampler, args.batch, args.steps)
-        results[name] = {"time_s": t, "samples_per_s_chip": sps}
+        results[name] = {"time_s": t, "samples_per_s_chip": sps,
+                         "batch": args.batch, "steps": args.steps}
         print(f"{name:<18} {t:7.2f}s  {sps:7.1f} samples/s/chip", file=sys.stderr)
 
     if not args.quality_only:
@@ -177,7 +338,8 @@ def main() -> None:
             DiffusionSampler(model128, sample_batch_size=args.batch),
             args.batch, args.steps,
         )
-        results["d128_h16_fp32"] = {"time_s": t, "samples_per_s_chip": sps}
+        results["d128_h16_fp32"] = {"time_s": t, "samples_per_s_chip": sps,
+                                    "batch": args.batch, "steps": args.steps}
         print(f"{'d128_h16_fp32':<18} {t:7.2f}s  {sps:7.1f} samples/s/chip",
               file=sys.stderr)
 
@@ -231,7 +393,8 @@ def main() -> None:
                     DiffusionSampler(m, sample_batch_size=args.batch),
                     args.batch, args.steps,
                 )
-                results[name] = {"time_s": t, "samples_per_s_chip": sps}
+                results[name] = {"time_s": t, "samples_per_s_chip": sps,
+                                 "batch": args.batch, "steps": args.steps}
                 print(f"{name:<28} {t:7.2f}s  {sps:7.1f} samples/s/chip",
                       file=sys.stderr)
 
@@ -248,6 +411,7 @@ def main() -> None:
             results[name] = {
                 "time_s": t, "samples_per_s_chip": sps,
                 "steps_skipped_ratio": stats["steps_skipped_ratio"],
+                "batch": args.batch, "steps": args.steps,
             }
             print(f"{name:<18} {t:7.2f}s  {sps:7.1f} samples/s/chip "
                   f"({100 * stats['steps_skipped_ratio']:.0f}% skipped)",
