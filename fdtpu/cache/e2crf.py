@@ -118,14 +118,23 @@ class E2CRFConfig:
     # relative extrapolation error over the span it just closed and compares
     # it with the predicted budget.  ``guard`` controls the post-sample
     # response: "warn" (default) emits a warning, "strict" raises,
-    # "off" disables.  Flagged when realized/predicted exceeds
-    # ``guard_overrun_tol`` or mean realized error exceeds ``guard_abs_tol``.
+    # "off" disables.  Flagged when the MEAN realized error exceeds
+    # ``guard_abs_tol``, the WORST span exceeds ``guard_max_tol``, or
+    # realized/predicted exceeds ``guard_overrun_tol``.  Thresholds are
+    # calibrated on a trained flagship across the documented safe and
+    # collapsing operating points (docs/benchmarks/guard_demo.json): safe
+    # arms realize mean ≤1.2 / max ≤2.1, collapsing or degraded arms
+    # mean ≥1.7 or max ≥4.8 — per-span MEAN error alone does not separate
+    # them (a loose budget realizes moderate error on EVERY span and still
+    # destroys the trajectory), the worst-span max does.
     guard: str = "warn"  # "warn" | "strict" | "off"
     guard_overrun_tol: float = 5.0
-    guard_abs_tol: float = 1.0
+    guard_abs_tol: float = 1.5
+    guard_max_tol: float = 4.0
     # Closed-loop τ₀ auto-calibration: scale the effective skip budget by
-    # the running realized/predicted overrun (EMA), so a collapsing
-    # configuration tightens itself instead of silently degrading.
+    # the high-water mark of the realized/predicted overrun, so a
+    # collapsing configuration tightens itself (from the second sample
+    # batch on — the collapse signature lands late in a trajectory).
     auto_calibrate: bool = False
 
     @property
@@ -375,7 +384,7 @@ def event_policy(
 def effective_tau(cfg: E2CRFConfig, pp: PolicyParams, state: CacheState) -> Array:
     """Skip budget, optionally tightened by the realized/predicted overrun.
 
-    With ``auto_calibrate`` the budget is τ₀ / max(1, overrun-EMA): a
+    With ``auto_calibrate`` the budget is τ₀ / max(1, overrun mark): a
     configuration whose extrapolation under-predicts its realized error
     (the silent-collapse regime) automatically earns a smaller budget and
     refreshes more often.  Well-calibrated configurations (overrun ≤ 1)
@@ -478,12 +487,15 @@ def record_guard_measurement(
     ``abs_target`` = the absolute per-span error the configuration deems
     acceptable (``guard_abs_tol``, traced).
 
-    The overrun state that drives τ₀ auto-calibration is a peak-hold with
-    decay over the per-measurement miscalibration factor — the worse of
-    realized/predicted (extrapolation-divergence failure mode) and
-    realized/abs_target (budget-too-loose failure mode), clipped to [0, 10]
-    so end-of-trajectory spikes (ε̂ norms shrink as t→0, inflating relative
-    errors) can't poison the calibration permanently.
+    The overrun state that drives τ₀ auto-calibration is a monotone
+    HIGH-WATER MARK of the per-measurement miscalibration factor — the
+    worse of realized/predicted (extrapolation-divergence failure mode)
+    and realized/abs_target (budget-too-loose failure mode), clipped to
+    [0, 10].  Monotone because the collapse signature is often a single
+    late-trajectory span (guard_demo.json): a decaying average forgets it
+    before the next batch, while the mark persists across batches (quirk
+    Q5 cache persistence) so subsequent trajectories run under the
+    tightened budget.  Construct a fresh sampler to reset it.
     """
     dt = state.realized_err_sum.dtype
     m = measured.astype(dt)
@@ -499,7 +511,7 @@ def record_guard_measurement(
         ),
         guard_measurements=state.guard_measurements + measured.astype(jnp.int32),
         overrun=jnp.where(
-            measured, jnp.maximum(0.9 * state.overrun, miscal), state.overrun
+            measured, jnp.maximum(state.overrun, miscal), state.overrun
         ),
     )
 
@@ -634,5 +646,5 @@ def cache_stats(state: CacheState) -> dict[str, Any]:
             if n_guard
             else 0.0
         ),
-        "overrun_ema": float(state.overrun),
+        "overrun_mark": float(state.overrun),
     }

@@ -125,7 +125,7 @@ def sample_chain(
         cache_cfg = dataclasses.replace(
             cache_cfg, K=0, R=0, tau_0=0.0, tau_warn=0.0,
             random_probe_ratio=0.0, guard="", guard_overrun_tol=0.0,
-            guard_abs_tol=0.0,
+            guard_abs_tol=0.0, guard_max_tol=0.0,
         )
     else:
         pp = None
@@ -682,18 +682,24 @@ class DiffusionSampler:
             return
         overrun = stats["budget_overrun_ratio"]
         realized = stats["realized_err_mean"]
-        if overrun <= cfg.guard_overrun_tol and realized <= cfg.guard_abs_tol:
+        worst = stats["realized_err_max"]
+        if (
+            overrun <= cfg.guard_overrun_tol
+            and realized <= cfg.guard_abs_tol
+            and worst <= cfg.guard_max_tol
+        ):
             return
         msg = (
             "E2-CRF error-budget guard: realized extrapolation error "
-            f"(mean {realized:.3f}, max {stats['realized_err_max']:.3f} "
-            f"over {stats['guard_measurements']} refreshes) exceeds the "
-            f"predicted budget by {overrun:.1f}x "
-            f"(tolerances: overrun {cfg.guard_overrun_tol}, "
-            f"abs {cfg.guard_abs_tol}). The sampled distribution is likely "
-            "collapsing. Lower tau_0 and/or R, or set "
-            "cache_kwargs={'auto_calibrate': True} to tighten the budget "
-            "automatically. Set guard='off' to silence."
+            f"(mean {realized:.3f}, worst span {worst:.3f} over "
+            f"{stats['guard_measurements']} refreshes, "
+            f"{overrun:.1f}x the predicted budget) is in the "
+            f"distribution-collapse regime (tolerances: mean "
+            f"{cfg.guard_abs_tol}, max {cfg.guard_max_tol}, overrun "
+            f"{cfg.guard_overrun_tol}; calibration in "
+            "docs/benchmarks/guard_demo.json). Lower tau_0 and/or R, or "
+            "set cache_kwargs={'auto_calibrate': True} to tighten the "
+            "budget automatically. Set guard='off' to silence."
         )
         if cfg.guard == "strict":
             raise RuntimeError(msg)
