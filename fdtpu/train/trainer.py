@@ -245,6 +245,11 @@ class Trainer:
                 self.best_checkpoint = save_checkpoint(
                     self.run_dir, model, epoch=epoch, val_loss=val_loss
                 )
+                # WandbLogger(log_model=true) analog: best checkpoints are
+                # also uploaded as model artifacts when a run is active.
+                from fdtpu.utils.wandb import maybe_log_model
+
+                maybe_log_model(self.best_checkpoint)
 
             if self.save_resume_state:
                 from fdtpu.train.checkpoint import save_train_state

@@ -47,5 +47,26 @@ def maybe_log_wandb(record: dict[str, Any]) -> None:
         pass
 
 
+def maybe_log_model(ckpt_path: Any, name: str = "model") -> None:
+    """Upload a checkpoint directory/file as a wandb model artifact — the
+    analog of the reference's ``WandbLogger(log_model=True)``
+    (conf/trainer/default.yaml:6-8).  No-op without an active run."""
+    try:
+        import wandb
+    except ImportError:
+        return
+    if wandb.run is None:
+        return
+    import os as _os
+
+    artifact = wandb.Artifact(f"{name}-{wandb.run.id}", type="model")
+    path = str(ckpt_path)
+    if _os.path.isdir(path):
+        artifact.add_dir(path)
+    else:
+        artifact.add_file(path)
+    wandb.run.log_artifact(artifact)
+
+
 def run_id_or_timestamp(run_id: Optional[str]) -> str:
     return run_id if run_id else time.strftime("%Y%m%d_%H%M%S")
