@@ -137,8 +137,11 @@ def write_markdown(d: dict) -> None:
             f"{crn['n_samples']} samples at T={c['steps']}: both stacks draw "
             "IDENTICAL prior and per-step noise, so between-sample variance "
             "cancels in the paired bootstrap "
-            f"({crn['n_boot']} replicates; max per-sample |Δx| = "
-            f"{crn['max_abs_sample_delta']:.2e}).",
+            f"({crn['n_boot']} replicates; median per-pair |Δx| = "
+            f"{crn.get('median_abs_sample_delta', float('nan')):.2e}, "
+            f"{crn.get('diverged_pairs_gt_0.1', 0)} of {crn['n_samples']} "
+            "pairs diverge chaotically over the long EM horizon — valid "
+            "draws either way, just less per-pair cancellation).",
             "",
             f"* MW vs test: fdtpu {crn['mw_fdtpu']:.4f} vs torch "
             f"{crn['mw_torch']:.4f}; delta {crn['mw_delta']:+.2e}, 95% CI "
@@ -553,6 +556,11 @@ def run_crn_distribution(args) -> None:
     eps_sw = max(1e-3, 0.02 * boot["sw_torch"])
     lo, hi = boot["mw_delta_ci95"]
     slo, shi = boot["sw_delta_ci95"]
+    # Per-pair tracking: most CRN pairs stay numerically identical, but a
+    # few trajectories cross sensitive regions where framework numerics
+    # amplify chaotically over hundreds of EM steps — both samples remain
+    # valid draws, the pairing just cancels less variance for those pairs.
+    pair_delta = np.abs(s_fd - s_th).max(axis=(1, 2))  # (n,)
     payload = {
         "model_id": str(args.crn_dist),
         "config": {
@@ -561,7 +569,9 @@ def run_crn_distribution(args) -> None:
             "design": "paired common-random-numbers + paired bootstrap",
             "platform": jax.default_backend(),
         },
-        "max_abs_sample_delta": float(np.max(np.abs(s_fd - s_th))),
+        "max_abs_sample_delta": float(pair_delta.max()),
+        "median_abs_sample_delta": float(np.median(pair_delta)),
+        "diverged_pairs_gt_0.1": int(np.sum(pair_delta > 0.1)),
         **boot,
         "epsilon_mw": eps_mw,
         "epsilon_sw": eps_sw,
