@@ -102,22 +102,37 @@ def bench_frontier(args) -> None:
 
     def get_model(dtype: str) -> ScoreModel:
         if dtype not in model_cache:
-            cfg = ScoreModelConfig(
-                n_channels=1, max_len=args.max_len,
-                attention_impl="blockdiag", compute_dtype=dtype,
-            )
-            model_cache[dtype] = ScoreModel(
-                config=cfg,
-                variables=init_score_model(jax.random.PRNGKey(0), cfg),
-                scheduler=scheduler,
-            )
+            if args.model_id:
+                from fdtpu.train import get_best_checkpoint, load_checkpoint
+
+                ckpt = get_best_checkpoint(
+                    Path(__file__).resolve().parent.parent
+                    / "lightning_logs" / args.model_id / "checkpoints"
+                )
+                model_cache[dtype] = load_checkpoint(
+                    ckpt, attention_impl="blockdiag", compute_dtype=dtype
+                )
+            else:
+                cfg = ScoreModelConfig(
+                    n_channels=1, max_len=args.max_len,
+                    attention_impl="blockdiag", compute_dtype=dtype,
+                )
+                model_cache[dtype] = ScoreModel(
+                    config=cfg,
+                    variables=init_score_model(jax.random.PRNGKey(0), cfg),
+                    scheduler=scheduler,
+                )
         return model_cache[dtype]
 
+    # With a trained model only the cached arms are worth re-measuring:
+    # uncached throughput is weight-independent, the realized skip ratio
+    # (and hence cached samples/s) is not.
+    trained = "_trained" if args.model_id else ""
     for batch in (128, 256, 512, 1024):
         for dtype in ("float32", "bfloat16"):
             short = "fp32" if dtype == "float32" else "bf16"
-            for cached in (False, True):
-                name = f"{'cached' if cached else 'uncached'}_{short}_b{batch}"
+            for cached in ((True,) if args.model_id else (False, True)):
+                name = f"{'cached' if cached else 'uncached'}_{short}_b{batch}{trained}"
                 if name in frontier and not args.refresh:
                     continue
                 kwargs = (
@@ -131,7 +146,13 @@ def bench_frontier(args) -> None:
                 sampler = DiffusionSampler(
                     get_model(dtype), sample_batch_size=batch, **kwargs
                 )
-                t, sps = measure(sampler, batch, args.steps)
+                try:
+                    t, sps = measure(sampler, batch, args.steps)
+                except Exception as exc:  # device fault: record, keep going
+                    frontier[name] = {"error": str(exc)[:200], "batch": batch}
+                    print(f"{name:<22} FAILED: {exc}", file=sys.stderr)
+                    out.write_text(json.dumps(payload, indent=2))
+                    continue
                 entry = {
                     "time_s": t, "samples_per_s_chip": sps, "batch": batch,
                     "steps": args.steps,
@@ -153,6 +174,10 @@ def bench_frontier(args) -> None:
                     f"mfu {100 * entry['mfu']:.1f}%", file=sys.stderr
                 )
                 out.write_text(json.dumps(payload, indent=2))  # incremental
+
+    if args.model_id:
+        print(json.dumps(frontier))
+        return
 
     # Training frontier: batch 64 → 512, best sampler dtype each.
     import tempfile
