@@ -59,7 +59,7 @@ class TrainingRunner:
                 for k, v in trainer_cfg.items()
                 if k in (
                     "max_epochs", "gradient_clip_val", "log_every_n_steps",
-                    "use_mesh", "accumulate_grad_batches",
+                    "use_mesh", "accumulate_grad_batches", "steps_per_call",
                 )
             },
         )

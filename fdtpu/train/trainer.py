@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fdtpu.data.datamodules import Datamodule
 from fdtpu.diffusion.losses import sde_loss
@@ -75,6 +76,7 @@ class Trainer:
         accumulate_grad_batches: int = 1,
         resume: bool = False,
         save_resume_state: bool = True,
+        steps_per_call: int = 16,
     ) -> None:
         """``accumulate_grad_batches``: micro-batches per optimizer update
         (Lightning semantics — the LR schedule advances once per accumulated
@@ -90,7 +92,13 @@ class Trainer:
         device the FFN and attention projections are tensor-parallel
         (fdtpu.dist.mesh.tp_param_spec) with XLA inserting the collectives.
         Default (``use_mesh=True``, ``mesh=None``) builds a data-only mesh
-        over all visible devices."""
+        over all visible devices.
+
+        ``steps_per_call``: optimizer steps executed per jitted dispatch
+        (a ``lax.scan`` over stacked batches).  Amortizes per-dispatch
+        overhead; 1 restores one dispatch per step.  The training
+        trajectory is identical for any value (same per-step PRNG key
+        sequence)."""
         self.max_epochs = max_epochs
         self.gradient_clip_val = gradient_clip_val
         self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
@@ -101,6 +109,7 @@ class Trainer:
         self.mesh = mesh
         self.log_every_n_steps = log_every_n_steps
         self.callbacks = callbacks or []
+        self.steps_per_call = max(1, int(steps_per_call))
 
         if run_id is None:
             run_id = time.strftime("%Y%m%d_%H%M%S")
@@ -162,10 +171,7 @@ class Trainer:
                 train=train, rngs=rngs,
             )
 
-        # Donate the train state: params/optimizer buffers (3x model size)
-        # update in place instead of being copied every step.
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, batch: Array, step_key: Array):
+        def _update(state: TrainState, batch: Array, step_key: Array):
             def loss_fn(params):
                 return sde_loss(
                     apply_fn, params, scheduler, batch, step_key,
@@ -180,12 +186,40 @@ class Trainer:
                 loss,
             )
 
-        @jax.jit
-        def val_step(params, batch: Array, step_key: Array):
+        # Donate the train state: params/optimizer buffers (3x model size)
+        # update in place instead of being copied every step.
+        train_step = partial(jax.jit, donate_argnums=(0,))(_update)
+
+        # Multi-step dispatch: run ``steps_per_call`` consecutive optimizer
+        # steps inside ONE jitted lax.scan.  Per-dispatch overhead (host
+        # Python + transfer + on this box a ~0.3-0.4 s TPU-tunnel relay
+        # round-trip) otherwise dominates a small model's train step; the
+        # scan amortizes it over k steps.  Step PRNG keys are produced by
+        # the same sequential host-side split as the per-step path, so the
+        # training trajectory is identical regardless of chunking.
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_steps_scan(state: TrainState, batches: Array, step_keys: Array):
+            def body(st, inp):
+                b, sk = inp
+                return _update(st, b, sk)
+
+            return jax.lax.scan(body, state, (batches, step_keys))
+
+        def _val_loss(params, batch: Array, step_key: Array):
             return sde_loss(
                 apply_fn, params, scheduler, batch, step_key,
                 likelihood_weighting=model.likelihood_weighting, train=False,
             )
+
+        val_step = jax.jit(_val_loss)
+
+        @jax.jit
+        def val_steps_scan(params, batches: Array, step_keys: Array):
+            def body(carry, inp):
+                b, sk = inp
+                return carry, _val_loss(params, b, sk)
+
+            return jax.lax.scan(body, None, (batches, step_keys))[1]
 
         def put_batch(batch: np.ndarray) -> tuple[Array, int]:
             batch, true_n = pad_to_multiple(batch, n_shards)
@@ -194,35 +228,108 @@ class Trainer:
                 arr = jax.device_put(arr, data_sharding(mesh, arr.ndim))
             return arr, true_n
 
-        global_step = resumed_global_step
-        for epoch in range(start_epoch, self.max_epochs):
-            train_loader = datamodule.train_dataloader()
-            epoch_losses = []
-            t0 = time.time()
-            for batch in train_loader:
-                key, step_key = jax.random.split(key)
-                arr, _ = put_batch(batch)
-                state, loss = train_step(state, arr, step_key)
-                epoch_losses.append(loss)
-                global_step += 1
-                if global_step % self.log_every_n_steps == 0:
-                    # LR at the current *optimizer* step (LearningRateMonitor
-                    # analog, reference conf/trainer/callbacks/default.yaml:1).
-                    opt_step = global_step // self.accumulate_grad_batches
-                    self._log(
-                        {"step": global_step, "epoch": epoch,
-                         "train/loss": float(loss),
-                         "lr": float(lr_schedule(opt_step))}
-                    )
+        def put_chunk(chunk: list[np.ndarray]) -> Array:
+            """Stack k same-shape batches to (k, B, ...) with the batch axis
+            (dim 1) padded for even sharding over the mesh 'data' axis."""
+            stacked = np.stack(chunk)
+            rem = (-stacked.shape[1]) % n_shards
+            if rem:
+                stacked = np.concatenate(
+                    [stacked, np.repeat(stacked[:, :1], rem, axis=1)], axis=1
+                )
+            arr = jnp.asarray(stacked)
+            if mesh is not None:
+                arr = jax.device_put(
+                    arr,
+                    NamedSharding(mesh, P(None, "data", *([None] * (arr.ndim - 2)))),
+                )
+            return arr
 
-            train_loss = float(jnp.mean(jnp.stack(epoch_losses)))
+        spc = max(1, int(self.steps_per_call))
+        global_step = resumed_global_step
+
+        def log_step(loss_val: Array, epoch: int) -> None:
+            # LR at the current *optimizer* step (LearningRateMonitor
+            # analog, reference conf/trainer/callbacks/default.yaml:1).
+            if global_step % self.log_every_n_steps == 0:
+                opt_step = global_step // self.accumulate_grad_batches
+                self._log(
+                    {"step": global_step, "epoch": epoch,
+                     "train/loss": float(loss_val),
+                     "lr": float(lr_schedule(opt_step))}
+                )
+
+        for epoch in range(start_epoch, self.max_epochs):
+            batches = list(datamodule.train_dataloader())
+            epoch_losses: list[Array] = []
+            t0 = time.time()
+            i = 0
+            while i < len(batches):
+                # Greedily group same-shape consecutive batches (all but a
+                # trailing partial batch) into one scanned dispatch.
+                run = 1
+                while (
+                    run < spc
+                    and i + run < len(batches)
+                    and batches[i + run].shape == batches[i].shape
+                ):
+                    run += 1
+                if run > 1:
+                    step_keys = []
+                    for _ in range(run):
+                        key, sk = jax.random.split(key)
+                        step_keys.append(sk)
+                    state, losses = train_steps_scan(
+                        state, put_chunk(batches[i : i + run]),
+                        jnp.stack(step_keys),
+                    )
+                    epoch_losses.append(losses)
+                    for off in range(run):
+                        global_step += 1
+                        log_step(losses[off], epoch)
+                else:
+                    key, step_key = jax.random.split(key)
+                    arr, _ = put_batch(batches[i])
+                    state, loss = train_step(state, arr, step_key)
+                    epoch_losses.append(jnp.reshape(loss, (1,)))
+                    global_step += 1
+                    log_step(loss, epoch)
+                i += run
+
+            train_loss = float(jnp.mean(jnp.concatenate(epoch_losses)))
 
             val_losses, val_weights = [], []
-            for batch in datamodule.val_dataloader():
-                key, step_key = jax.random.split(key)
-                arr, true_n = put_batch(batch)
-                val_losses.append(float(val_step(state.params, arr, step_key)))
-                val_weights.append(true_n)
+            val_batches = list(datamodule.val_dataloader())
+            i = 0
+            while i < len(val_batches):
+                run = 1
+                while (
+                    run < spc
+                    and i + run < len(val_batches)
+                    and val_batches[i + run].shape == val_batches[i].shape
+                ):
+                    run += 1
+                if run > 1:
+                    step_keys = []
+                    for _ in range(run):
+                        key, sk = jax.random.split(key)
+                        step_keys.append(sk)
+                    losses = val_steps_scan(
+                        state.params, put_chunk(val_batches[i : i + run]),
+                        jnp.stack(step_keys),
+                    )
+                    val_losses.extend(float(v) for v in losses)
+                    val_weights.extend(
+                        b.shape[0] for b in val_batches[i : i + run]
+                    )
+                else:
+                    key, step_key = jax.random.split(key)
+                    arr, true_n = put_batch(val_batches[i])
+                    val_losses.append(
+                        float(val_step(state.params, arr, step_key))
+                    )
+                    val_weights.append(true_n)
+                i += run
             val_loss = float(np.average(val_losses, weights=val_weights)) if val_losses else float("nan")
 
             dt = time.time() - t0

@@ -88,16 +88,9 @@ def bench_frontier(args) -> None:
     out = Path(__file__).resolve().parent.parent / "docs/benchmarks/throughput.json"
     payload = json.loads(out.read_text()) if out.exists() else {"results": {}}
     frontier = payload.setdefault("frontier", {})
-    flops = forward_flops(72, 12, 10, 2048, args.max_len, 1)
     scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(
         args.max_len
     )
-    payload.setdefault("frontier_config", {
-        "steps": args.steps, "max_len": args.max_len,
-        "flops_per_forward": flops, "peak_flops": V5E_PEAK_FLOPS,
-        "mfu_convention": "vs bf16 peak for both dtypes",
-    })
-
     model_cache: dict[str, ScoreModel] = {}
 
     def get_model(dtype: str) -> ScoreModel:
@@ -124,11 +117,24 @@ def bench_frontier(args) -> None:
                 )
         return model_cache[dtype]
 
+    # MFU is computed against the measured model's own analytic FLOPs (a
+    # trained --model-id checkpoint may not be the d72 flagship).
+    mcfg = get_model("float32").config
+    flops = forward_flops(mcfg.d_model, mcfg.n_head, mcfg.num_layers,
+                          mcfg.dim_feedforward, mcfg.max_len, mcfg.n_channels)
+    payload.setdefault("frontier_config", {
+        "steps": args.steps, "max_len": args.max_len,
+        "flops_per_forward": flops, "peak_flops": V5E_PEAK_FLOPS,
+        "mfu_convention": "vs bf16 peak for both dtypes",
+        "batch_1024_note": "reproducibly faults the TPU device (recorded "
+                           "error entries); sweep capped at 512",
+    })
+
     # With a trained model only the cached arms are worth re-measuring:
     # uncached throughput is weight-independent, the realized skip ratio
     # (and hence cached samples/s) is not.
-    trained = "_trained" if args.model_id else ""
-    for batch in (128, 256, 512, 1024):
+    trained = f"_trained@{args.model_id}" if args.model_id else ""
+    for batch in (128, 256, 512):
         for dtype in ("float32", "bfloat16"):
             short = "fp32" if dtype == "float32" else "bf16"
             for cached in ((True,) if args.model_id else (False, True)):
