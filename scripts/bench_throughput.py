@@ -191,47 +191,61 @@ def bench_frontier(args) -> None:
     from fdtpu.data import SyntheticDatamodule
     from fdtpu.train import Trainer
 
-    for batch in (64, 128, 256, 512):
-        name = f"train_einsum_fp32_b{batch}"
-        if name in frontier and not args.refresh:
-            continue
-        dm = SyntheticDatamodule(
-            data_dir=tempfile.mkdtemp(), max_len=args.max_len,
-            num_samples=2048, batch_size=batch, fourier_transform=True,
-            standardize=True,
-        )
-        dm.prepare_data()
-        dm.setup()
-        cfg = ScoreModelConfig(
-            n_channels=1, max_len=args.max_len, attention_impl="einsum",
-            compute_dtype="float32",
-        )
-
-        def fresh_model():
-            return ScoreModel(
-                config=cfg,
-                variables=init_score_model(jax.random.PRNGKey(0), cfg),
-                scheduler=scheduler,
-                num_training_steps=2 * (2048 // batch),
+    # einsum fp32 is the parity arm; blockdiag bf16 is the recommended
+    # training config (Pallas fwd+bwd — its custom VJP stores only q/k/v
+    # residuals, so it also fits batch 512 where einsum's fp32 softmax
+    # residuals OOM).
+    for impl, dtype, short in (
+        ("einsum", "float32", "einsum_fp32"),
+        ("blockdiag", "bfloat16", "blockdiag_bf16"),
+    ):
+        for batch in (64, 128, 256, 512):
+            name = f"train_{short}_b{batch}"
+            if name in frontier and not args.refresh:
+                continue
+            dm = SyntheticDatamodule(
+                data_dir=tempfile.mkdtemp(), max_len=args.max_len,
+                num_samples=2048, batch_size=batch, fourier_transform=True,
+                standardize=True,
+            )
+            dm.prepare_data()
+            dm.setup()
+            cfg = ScoreModelConfig(
+                n_channels=1, max_len=args.max_len, attention_impl=impl,
+                compute_dtype=dtype,
             )
 
-        Trainer(max_epochs=1, run_dir=tempfile.mkdtemp(), seed=42,
-                log_every_n_steps=10_000).fit(fresh_model(), dm)  # warm
-        t0 = time.time()
-        Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
-                log_every_n_steps=10_000).fit(fresh_model(), dm)
-        elapsed = time.time() - t0
-        n_consumed = 2 * len(dm.X_train)
-        sps = n_consumed / elapsed
-        frontier[name] = {
-            "time_s_2_epochs": elapsed, "train_samples_per_s_chip": sps,
-            "batch": batch,
-            # fwd + bwd ≈ 3× forward FLOPs per consumed sample.
-            "mfu": sps * 3 * flops / V5E_PEAK_FLOPS,
-        }
-        print(f"{name:<22} {elapsed:7.2f}s  {sps:8.1f} train samples/s/chip  "
-              f"mfu {100 * frontier[name]['mfu']:.1f}%", file=sys.stderr)
-        out.write_text(json.dumps(payload, indent=2))
+            def fresh_model():
+                return ScoreModel(
+                    config=cfg,
+                    variables=init_score_model(jax.random.PRNGKey(0), cfg),
+                    scheduler=scheduler,
+                    num_training_steps=2 * (2048 // batch),
+                )
+
+            try:
+                Trainer(max_epochs=1, run_dir=tempfile.mkdtemp(), seed=42,
+                        log_every_n_steps=10_000).fit(fresh_model(), dm)  # warm
+                t0 = time.time()
+                Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
+                        log_every_n_steps=10_000).fit(fresh_model(), dm)
+            except Exception as exc:  # OOM/device fault: record, keep going
+                frontier[name] = {"error": str(exc)[:200], "batch": batch}
+                print(f"{name:<22} FAILED: {str(exc)[:120]}", file=sys.stderr)
+                out.write_text(json.dumps(payload, indent=2))
+                continue
+            elapsed = time.time() - t0
+            n_consumed = 2 * len(dm.X_train)
+            sps = n_consumed / elapsed
+            frontier[name] = {
+                "time_s_2_epochs": elapsed, "train_samples_per_s_chip": sps,
+                "batch": batch,
+                # fwd + bwd ≈ 3× forward FLOPs per consumed sample.
+                "mfu": sps * 3 * flops / V5E_PEAK_FLOPS,
+            }
+            print(f"{name:<22} {elapsed:7.2f}s  {sps:8.1f} train samples/s/chip  "
+                  f"mfu {100 * frontier[name]['mfu']:.1f}%", file=sys.stderr)
+            out.write_text(json.dumps(payload, indent=2))
     print(json.dumps(frontier))
 
 
