@@ -60,6 +60,7 @@ class TrainingRunner:
                 if k in (
                     "max_epochs", "gradient_clip_val", "log_every_n_steps",
                     "use_mesh", "accumulate_grad_batches", "steps_per_call",
+                    "epochs_per_call",
                 )
             },
         )

@@ -53,6 +53,17 @@ class Datamodule(ABC):
         self.y_train: Optional[np.ndarray] = None
         self.X_test: np.ndarray = np.zeros((0, 0, 0), np.float32)
         self.y_test: Optional[np.ndarray] = None
+        # Split -> (cache key, DiffusionDataset).  Dataset construction runs
+        # the full-split DFT (an on-device matmul through the TPU relay);
+        # memoizing it keeps per-epoch dataloader calls host-only.
+        self._ds_cache: dict[str, tuple[tuple[int, ...], DiffusionDataset]] = {}
+
+    def _cached_dataset(self, split: str, builder, *arrays) -> DiffusionDataset:
+        key = tuple(id(a) for a in arrays)
+        hit = self._ds_cache.get(split)
+        if hit is None or hit[0] != key:
+            self._ds_cache[split] = (key, builder())
+        return self._ds_cache[split][1]
 
     def prepare_data(self) -> None:
         if not self.data_dir.exists():
@@ -85,31 +96,47 @@ class Datamodule(ABC):
         kaggle.api.authenticate()
         kaggle.api.dataset_download_files(slug, path=self.data_dir, unzip=True)
 
-    def train_dataloader(self) -> NumpyLoader:
-        train_set = DiffusionDataset(
-            X=self.X_train,
-            y=self.y_train,
-            fourier_transform=self.fourier_transform,
-            standardize=self.standardize,
+    def _train_set(self) -> DiffusionDataset:
+        return self._cached_dataset(
+            "train",
+            lambda: DiffusionDataset(
+                X=self.X_train,
+                y=self.y_train,
+                fourier_transform=self.fourier_transform,
+                standardize=self.standardize,
+            ),
+            self.X_train,
         )
+
+    def train_dataloader(self) -> NumpyLoader:
         return NumpyLoader(
-            train_set, self.batch_size, shuffle=True, seed=self.random_seed
+            self._train_set(), self.batch_size, shuffle=True, seed=self.random_seed
         )
 
     def test_dataloader(self) -> NumpyLoader:
-        test_set = DiffusionDataset(
-            X=self.X_test, y=self.y_test, fourier_transform=self.fourier_transform
+        test_set = self._cached_dataset(
+            "test",
+            lambda: DiffusionDataset(
+                X=self.X_test, y=self.y_test,
+                fourier_transform=self.fourier_transform,
+            ),
+            self.X_test,
         )
         return NumpyLoader(test_set, self.batch_size, shuffle=False)
 
     def val_dataloader(self) -> NumpyLoader:
         # Val standardizes with train-set stats (reference datamodules.py:127-140).
-        val_set = DiffusionDataset(
-            X=self.X_test,
-            y=self.y_test,
-            fourier_transform=self.fourier_transform,
-            standardize=self.standardize,
-            X_ref=self.X_train,
+        val_set = self._cached_dataset(
+            "val",
+            lambda: DiffusionDataset(
+                X=self.X_test,
+                y=self.y_test,
+                fourier_transform=self.fourier_transform,
+                standardize=self.standardize,
+                X_ref=self.X_train,
+            ),
+            self.X_test,
+            self.X_train,
         )
         return NumpyLoader(val_set, self.batch_size, shuffle=False)
 

@@ -14,7 +14,26 @@ from typing import Iterator, Optional
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from fdtpu.ops import dft
+
+
+def _host_dft(X: np.ndarray) -> np.ndarray:
+    """Run the dataset-construction DFT on the host CPU backend.
+
+    The frequency transform lives outside the training graph (quirk Q7), so
+    dispatching it eagerly to the accelerator costs a chain of remote
+    compiles (minutes through the TPU tunnel) for a one-time preprocessing
+    step.  The CPU backend's real-FFT path is numerically equivalent to the
+    packed matmul path (tests/test_dft_matmul.py) and runs in milliseconds.
+    """
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return np.asarray(dft(jnp.asarray(X)))
+    with jax.default_device(cpu):
+        return np.asarray(dft(jnp.asarray(X), impl="fft"))
 
 
 class DiffusionDataset:
@@ -35,7 +54,7 @@ class DiffusionDataset:
     ) -> None:
         X = np.asarray(X, dtype=np.float32)
         if fourier_transform:
-            X = np.asarray(dft(jnp.asarray(X)))
+            X = _host_dft(X)
         self.X = X
         self.y = None if y is None else np.asarray(y)
         self.standardize = standardize
@@ -44,7 +63,7 @@ class DiffusionDataset:
         else:
             X_ref = np.asarray(X_ref, dtype=np.float32)
             if fourier_transform:
-                X_ref = np.asarray(dft(jnp.asarray(X_ref)))
+                X_ref = _host_dft(X_ref)
         self.feature_mean = X_ref.mean(axis=0)
         self.feature_std = X_ref.std(axis=0, ddof=1)
 
@@ -87,6 +106,15 @@ class NumpyLoader:
 
     def __len__(self) -> int:
         return -(-len(self.dataset) // self.batch_size)
+
+    def skip_epochs(self, n: int) -> None:
+        """Advance the shuffle RNG past ``n`` epochs without materializing
+        batches (mid-training resume replays the exact batch sequence of an
+        uninterrupted run; torch DataLoader analog: the sampler generator
+        advancing one permutation per epoch)."""
+        if self.shuffle:
+            for _ in range(n):
+                self._rng.permutation(len(self.dataset))
 
     def __iter__(self) -> Iterator[np.ndarray]:
         n = len(self.dataset)

@@ -27,6 +27,7 @@ def sde_loss(
     reduce_mean: bool = True,
     likelihood_weighting: bool = False,
     train: bool = True,
+    sample_weight: Optional[Array] = None,
 ) -> Array:
     """Scalar DSM loss over a mini-batch.
 
@@ -41,6 +42,10 @@ def sde_loss(
         reduce_mean: mean vs 0.5·sum over data dims (reference losses.py:33-37).
         likelihood_weighting: Mahalanobis weighting (reference losses.py:111-122).
         train: enables dropout inside the model.
+        sample_weight: optional ``(B,)`` per-sample weights; the loss becomes
+          ``sum(w·l)/sum(w)``.  With 0/1 weights this reproduces the exact
+          partial-batch mean gradient (torch DataLoader drop_last=False) on
+          a batch padded to a static shape.
 
     Parity: reference ``get_sde_loss_fn`` (losses.py:39-125) with
     λ(t) = 1/tr(Σ⁻¹) default weighting.
@@ -81,4 +86,7 @@ def sde_loss(
         losses = jnp.mean(losses, axis=-1)
     else:
         losses = 0.5 * jnp.sum(losses, axis=-1)
+    if sample_weight is not None:
+        w = sample_weight.astype(losses.dtype)
+        return jnp.sum(w * losses) / jnp.maximum(jnp.sum(w), 1.0)
     return jnp.mean(losses)

@@ -77,6 +77,7 @@ class Trainer:
         resume: bool = False,
         save_resume_state: bool = True,
         steps_per_call: int = 16,
+        epochs_per_call: int = 1,
     ) -> None:
         """``accumulate_grad_batches``: micro-batches per optimizer update
         (Lightning semantics — the LR schedule advances once per accumulated
@@ -98,7 +99,19 @@ class Trainer:
         (a ``lax.scan`` over stacked batches).  Amortizes per-dispatch
         overhead; 1 restores one dispatch per step.  The training
         trajectory is identical for any value (same per-step PRNG key
-        sequence)."""
+        sequence).
+
+        ``epochs_per_call``: >1 switches to the device-resident training
+        loop — the train/val splits live in HBM, the per-epoch shuffle is a
+        device-side ``jax.random.permutation``, and ``epochs_per_call``
+        whole epochs (train + val) run inside ONE jitted ``lax.scan``
+        dispatch, with the running-best parameters tracked in the scan
+        carry.  ~2-4× faster on small models through the TPU relay
+        (per-dispatch overhead amortizes over the whole call).  The
+        training trajectory differs from the host loop (device-side
+        shuffle and key order) but is invariant to the value of
+        ``epochs_per_call`` itself; callbacks and best/resume snapshots
+        fire at call boundaries instead of every epoch."""
         self.max_epochs = max_epochs
         self.gradient_clip_val = gradient_clip_val
         self.accumulate_grad_batches = max(1, int(accumulate_grad_batches))
@@ -110,6 +123,7 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.callbacks = callbacks or []
         self.steps_per_call = max(1, int(steps_per_call))
+        self.epochs_per_call = max(1, int(epochs_per_call))
 
         if run_id is None:
             run_id = time.strftime("%Y%m%d_%H%M%S")
@@ -123,6 +137,17 @@ class Trainer:
     # ------------------------------------------------------------------ fit
     def fit(self, model: ScoreModel, datamodule: Datamodule) -> ScoreModel:
         key = jax.random.PRNGKey(self.seed)
+        # Keep the PRNG key chain on the host CPU backend: each
+        # ``jax.random.split`` is otherwise a separate accelerator dispatch
+        # (~70 ms through the TPU tunnel relay), and a training epoch does
+        # one split per optimizer/val step.  threefry is bit-identical
+        # across backends, so the trajectory is unchanged; stacked step
+        # keys re-enter the TPU uncommitted via ``np.stack``/``np.asarray``.
+        try:
+            host_cpu = jax.local_devices(backend="cpu")[0]
+            key = jax.device_put(key, host_cpu)
+        except RuntimeError:
+            host_cpu = None
         cfg = model.config
         scheduler = model.scheduler
         constants = model.variables["constants"]
@@ -133,9 +158,17 @@ class Trainer:
             gradient_clip_val=self.gradient_clip_val,
             accumulate_grad_batches=self.accumulate_grad_batches,
         )
-        lr_schedule = make_lr_schedule(
+        _lr_schedule = make_lr_schedule(
             lr_max=model.lr_max, num_training_steps=model.num_training_steps
         )
+
+        def lr_schedule(step):
+            # optax schedules trace jnp ops; evaluate them on the host CPU
+            # device so per-epoch logging never round-trips the relay.
+            if host_cpu is not None:
+                with jax.default_device(host_cpu):
+                    return _lr_schedule(step)
+            return _lr_schedule(step)
         state = init_train_state(model.variables["params"], tx)
 
         start_epoch = 0
@@ -146,6 +179,8 @@ class Trainer:
             restored = load_train_state(self.run_dir, state, key)
             if restored is not None:
                 state, key, resume_meta = restored
+                if host_cpu is not None:
+                    key = jax.device_put(np.asarray(key), host_cpu)
                 start_epoch = int(resume_meta["epoch"]) + 1
                 resumed_global_step = int(resume_meta["global_step"])
                 self.best_val_loss = float(resume_meta["best_val_loss"])
@@ -171,11 +206,15 @@ class Trainer:
                 train=train, rngs=rngs,
             )
 
-        def _update(state: TrainState, batch: Array, step_key: Array):
+        def _update(
+            state: TrainState, batch: Array, step_key: Array,
+            sample_weight: Optional[Array] = None,
+        ):
             def loss_fn(params):
                 return sde_loss(
                     apply_fn, params, scheduler, batch, step_key,
                     likelihood_weighting=model.likelihood_weighting, train=True,
+                    sample_weight=sample_weight,
                 )
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -205,10 +244,14 @@ class Trainer:
 
             return jax.lax.scan(body, state, (batches, step_keys))
 
-        def _val_loss(params, batch: Array, step_key: Array):
+        def _val_loss(
+            params, batch: Array, step_key: Array,
+            sample_weight: Optional[Array] = None,
+        ):
             return sde_loss(
                 apply_fn, params, scheduler, batch, step_key,
                 likelihood_weighting=model.likelihood_weighting, train=False,
+                sample_weight=sample_weight,
             )
 
         val_step = jax.jit(_val_loss)
@@ -220,6 +263,15 @@ class Trainer:
                 return carry, _val_loss(params, b, sk)
 
             return jax.lax.scan(body, None, (batches, step_keys))[1]
+
+        if self.epochs_per_call > 1:
+            return self._fit_on_device(
+                model=model, datamodule=datamodule, state=state, key=key,
+                _update=_update, _val_loss=_val_loss, mesh=mesh,
+                n_shards=n_shards, lr_schedule=lr_schedule,
+                start_epoch=start_epoch, global_step=resumed_global_step,
+                constants=constants,
+            )
 
         def put_batch(batch: np.ndarray) -> tuple[Array, int]:
             batch, true_n = pad_to_multiple(batch, n_shards)
@@ -248,6 +300,44 @@ class Trainer:
         spc = max(1, int(self.steps_per_call))
         global_step = resumed_global_step
 
+        # One loader per fit (torch DataLoader semantics, reference
+        # datamodules.py:102-140 via Lightning): iterating it re-shuffles
+        # every epoch, and dataset construction (the full-split DFT — an
+        # on-device dispatch) happens once instead of per epoch.  On resume
+        # the shuffle RNG fast-forwards so the batch sequence matches an
+        # uninterrupted run.
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+        if start_epoch and hasattr(train_loader, "skip_epochs"):
+            train_loader.skip_epochs(start_epoch)
+
+        # The val set is static (shuffle=False): group + transfer it to the
+        # device ONCE instead of re-stacking and re-putting every epoch.
+        # Each plan entry is ("chunk", (k,B,...) array, [true sizes]) for a
+        # scanned dispatch or ("single", array, true size) for a lone
+        # odd-shaped trailing batch.
+        val_plan: list[tuple] = []
+        if self.max_epochs > start_epoch:
+            val_batches = list(val_loader)
+            i = 0
+            while i < len(val_batches):
+                run = 1
+                while (
+                    run < spc
+                    and i + run < len(val_batches)
+                    and val_batches[i + run].shape == val_batches[i].shape
+                ):
+                    run += 1
+                if run > 1:
+                    val_plan.append(
+                        ("chunk", put_chunk(val_batches[i : i + run]),
+                         [b.shape[0] for b in val_batches[i : i + run]])
+                    )
+                else:
+                    arr, true_n = put_batch(val_batches[i])
+                    val_plan.append(("single", arr, true_n))
+                i += run
+
         def log_step(loss_val: Array, epoch: int) -> None:
             # LR at the current *optimizer* step (LearningRateMonitor
             # analog, reference conf/trainer/callbacks/default.yaml:1).
@@ -260,7 +350,7 @@ class Trainer:
                 )
 
         for epoch in range(start_epoch, self.max_epochs):
-            batches = list(datamodule.train_dataloader())
+            batches = list(train_loader)
             epoch_losses: list[Array] = []
             t0 = time.time()
             i = 0
@@ -281,7 +371,7 @@ class Trainer:
                         step_keys.append(sk)
                     state, losses = train_steps_scan(
                         state, put_chunk(batches[i : i + run]),
-                        jnp.stack(step_keys),
+                        np.stack(step_keys),
                     )
                     epoch_losses.append(losses)
                     for off in range(run):
@@ -290,46 +380,40 @@ class Trainer:
                 else:
                     key, step_key = jax.random.split(key)
                     arr, _ = put_batch(batches[i])
-                    state, loss = train_step(state, arr, step_key)
+                    state, loss = train_step(state, arr, np.asarray(step_key))
                     epoch_losses.append(jnp.reshape(loss, (1,)))
                     global_step += 1
                     log_step(loss, epoch)
                 i += run
 
-            train_loss = float(jnp.mean(jnp.concatenate(epoch_losses)))
+            # Host-side mean over the fetched per-step losses: avoids two
+            # extra accelerator dispatches (concatenate + mean) per epoch.
+            train_loss = float(
+                np.concatenate(
+                    [np.asarray(x).ravel() for x in epoch_losses]
+                ).mean()
+            )
 
             val_losses, val_weights = [], []
-            val_batches = list(datamodule.val_dataloader())
-            i = 0
-            while i < len(val_batches):
-                run = 1
-                while (
-                    run < spc
-                    and i + run < len(val_batches)
-                    and val_batches[i + run].shape == val_batches[i].shape
-                ):
-                    run += 1
-                if run > 1:
+            for entry in val_plan:
+                if entry[0] == "chunk":
+                    _, chunk_arr, weights = entry
                     step_keys = []
-                    for _ in range(run):
+                    for _ in range(len(weights)):
                         key, sk = jax.random.split(key)
                         step_keys.append(sk)
                     losses = val_steps_scan(
-                        state.params, put_chunk(val_batches[i : i + run]),
-                        jnp.stack(step_keys),
+                        state.params, chunk_arr, np.stack(step_keys)
                     )
-                    val_losses.extend(float(v) for v in losses)
-                    val_weights.extend(
-                        b.shape[0] for b in val_batches[i : i + run]
-                    )
+                    val_losses.extend(np.asarray(losses).tolist())
+                    val_weights.extend(weights)
                 else:
+                    _, arr, true_n = entry
                     key, step_key = jax.random.split(key)
-                    arr, true_n = put_batch(val_batches[i])
                     val_losses.append(
-                        float(val_step(state.params, arr, step_key))
+                        float(val_step(state.params, arr, np.asarray(step_key)))
                     )
                     val_weights.append(true_n)
-                i += run
             val_loss = float(np.average(val_losses, weights=val_weights)) if val_losses else float("nan")
 
             dt = time.time() - t0
@@ -374,6 +458,218 @@ class Trainer:
 
         # Final parameters (even if not best) are kept on the model only when
         # no checkpoint improved — mirroring Lightning's in-memory behavior.
+        if self.best_checkpoint is None:
+            model.variables = {
+                "params": jax.device_get(state.params),
+                "constants": jax.device_get(constants),
+            }
+        return model
+
+    # ------------------------------------------------- device-resident fit
+    def _fit_on_device(
+        self, *, model, datamodule, state, key, _update, _val_loss, mesh,
+        n_shards, lr_schedule, start_epoch, global_step, constants,
+    ) -> "ScoreModel":
+        """Device-resident training loop (``epochs_per_call`` > 1).
+
+        The standardized train/val splits are transferred to HBM once;
+        each jitted call runs up to ``epochs_per_call`` whole epochs as one
+        ``lax.scan`` (shuffle = device-side ``jax.random.permutation``,
+        partial batches = zero-weight padding rows with exact weighted-mean
+        gradients, running best params tracked in the carry).  Through the
+        TPU tunnel relay this amortizes per-dispatch overhead over entire
+        epochs: ~2× faster than the host loop at batch 256 on the 3.2M-param
+        flagship (1,204 vs ~590 samples/s/chip incl. val).
+        """
+        from functools import partial as _partial
+
+        X_np = np.asarray(
+            datamodule.train_dataloader().dataset.standardized(), np.float32
+        )
+        XV_np = np.asarray(
+            datamodule.val_dataloader().dataset.standardized(), np.float32
+        )
+        n_train, n_val = X_np.shape[0], XV_np.shape[0]
+        B = int(datamodule.batch_size)
+        B_pad = -(-B // n_shards) * n_shards
+        steps_pe = -(-n_train // B)
+        vsteps = -(-n_val // B)
+
+        def padded_weights(n: int, steps: int) -> np.ndarray:
+            w = np.zeros((steps * B,), np.float32)
+            w[:n] = 1.0
+            w = w.reshape(steps, B)
+            if B_pad > B:
+                w = np.pad(w, ((0, 0), (0, B_pad - B)))
+            return w
+
+        w_train = jnp.asarray(padded_weights(n_train, steps_pe))
+        w_val = jnp.asarray(padded_weights(n_val, vsteps))
+        # Exact per-epoch val loss: weight each batch's (weighted-mean) loss
+        # by its true row count.
+        v_frac = np.asarray(padded_weights(n_val, vsteps)).sum(axis=1)
+        v_frac = jnp.asarray(v_frac / v_frac.sum())
+
+        XV_pad = np.zeros((vsteps * B_pad,) + XV_np.shape[1:], np.float32)
+        XV_pad = XV_pad.reshape(vsteps, B_pad, *XV_np.shape[1:])
+        for i in range(vsteps):
+            rows = XV_np[i * B : (i + 1) * B]
+            XV_pad[i, : rows.shape[0]] = rows
+
+        X_dev = jnp.asarray(X_np)
+        XV_dev = jnp.asarray(XV_pad)
+        if mesh is not None:
+            # Splits replicated; the gathered batch is resharded over the
+            # mesh 'data' axis inside the step.
+            rep = NamedSharding(mesh, P(*([None] * X_dev.ndim)))
+            X_dev = jax.device_put(X_dev, rep)
+            XV_dev = jax.device_put(
+                XV_dev, NamedSharding(mesh, P(*([None] * XV_dev.ndim)))
+            )
+
+        def shard_batch(batch: Array) -> Array:
+            if mesh is not None and B_pad % n_shards == 0:
+                return jax.lax.with_sharding_constraint(
+                    batch,
+                    NamedSharding(mesh, P("data", *([None] * (batch.ndim - 1)))),
+                )
+            return batch
+
+        @_partial(jax.jit, donate_argnums=(0,))
+        def run_epochs(carry, X, XV, epoch_ids):
+            def epoch_body(c, epoch_idx):
+                state, key, best_params, best_val, best_epoch = c
+                key, pkey = jax.random.split(key)
+                perm = jax.random.permutation(pkey, n_train).astype(jnp.int32)
+                idx = jnp.concatenate(
+                    [perm, jnp.zeros((steps_pe * B - n_train,), jnp.int32)]
+                ).reshape(steps_pe, B)
+                if B_pad > B:
+                    idx = jnp.pad(idx, ((0, 0), (0, B_pad - B)))
+
+                def step_body(sc, inp):
+                    st, k = sc
+                    row_idx, w = inp
+                    k, sk = jax.random.split(k)
+                    batch = shard_batch(jnp.take(X, row_idx, axis=0))
+                    st, loss = _update(st, batch, sk, sample_weight=w)
+                    return (st, k), loss
+
+                (state, key), step_losses = jax.lax.scan(
+                    step_body, (state, key), (idx, w_train)
+                )
+
+                def val_body(k, inp):
+                    vb, w = inp
+                    k, sk = jax.random.split(k)
+                    return k, _val_loss(
+                        state.params, shard_batch(vb), sk, sample_weight=w
+                    )
+
+                key, vlosses = jax.lax.scan(val_body, key, (XV, w_val))
+                val_loss = jnp.sum(vlosses * v_frac)
+
+                improved = val_loss < best_val
+                best_params = jax.tree.map(
+                    lambda b, p: jnp.where(improved, p, b), best_params,
+                    state.params,
+                )
+                best_val = jnp.minimum(best_val, val_loss)
+                best_epoch = jnp.where(improved, epoch_idx, best_epoch)
+                return (
+                    (state, key, best_params, best_val, best_epoch),
+                    (step_losses, val_loss),
+                )
+
+            carry, (step_losses, val_losses) = jax.lax.scan(
+                epoch_body, carry, epoch_ids
+            )
+            return carry, step_losses, val_losses
+
+        best_params = jax.tree.map(jnp.copy, state.params)
+        carry = (
+            state,
+            jnp.asarray(np.asarray(key)),
+            best_params,
+            jnp.asarray(self.best_val_loss, jnp.float32),
+            jnp.asarray(-1, jnp.int32),
+        )
+        saved_best = self.best_val_loss
+
+        ep = start_epoch
+        while ep < self.max_epochs:
+            n_call = min(self.epochs_per_call, self.max_epochs - ep)
+            epoch_ids = jnp.arange(ep, ep + n_call, dtype=jnp.int32)
+            t0 = time.time()
+            carry, step_losses, val_losses = run_epochs(
+                carry, X_dev, XV_dev, epoch_ids
+            )
+            state = carry[0]
+            step_np, val_np, best_val_np, best_epoch_np = jax.device_get(
+                (step_losses, val_losses, carry[3], carry[4])
+            )
+            dt = time.time() - t0
+
+            for e in range(n_call):
+                epoch = ep + e
+                for s in range(steps_pe):
+                    global_step += 1
+                    if global_step % self.log_every_n_steps == 0:
+                        opt_step = global_step // self.accumulate_grad_batches
+                        self._log(
+                            {"step": global_step, "epoch": epoch,
+                             "train/loss": float(step_np[e, s]),
+                             "lr": float(lr_schedule(opt_step))}
+                        )
+                train_loss = float(step_np[e].mean())
+                val_loss = float(val_np[e])
+                self._log(
+                    {"step": global_step, "epoch": epoch,
+                     "train/loss_epoch": train_loss, "val/loss": val_loss,
+                     "epoch_time_s": round(dt / n_call, 2),
+                     "lr": float(
+                         lr_schedule(global_step // self.accumulate_grad_batches)
+                     )}
+                )
+                logging.info(
+                    "epoch %d: train/loss %.5f val/loss %.5f (%.1fs)",
+                    epoch, train_loss, val_loss, dt / n_call,
+                )
+
+            self.best_val_loss = float(best_val_np)
+            if self.best_val_loss < saved_best:
+                saved_best = self.best_val_loss
+                model.variables = {
+                    "params": jax.device_get(carry[2]),
+                    "constants": jax.device_get(constants),
+                }
+                self.best_checkpoint = save_checkpoint(
+                    self.run_dir, model, epoch=int(best_epoch_np),
+                    val_loss=self.best_val_loss,
+                )
+                from fdtpu.utils.wandb import maybe_log_model
+
+                maybe_log_model(self.best_checkpoint)
+
+            if self.save_resume_state:
+                from fdtpu.train.checkpoint import save_train_state
+
+                save_train_state(
+                    self.run_dir, state, carry[1], epoch=ep + n_call - 1,
+                    global_step=global_step, best_val_loss=self.best_val_loss,
+                )
+
+            for callback in self.callbacks:
+                callback.on_train_epoch_end(
+                    trainer=self,
+                    model_variables={
+                        "params": jax.device_get(state.params),
+                        "constants": constants,
+                    },
+                    epoch=ep + n_call - 1,
+                )
+            ep += n_call
+
         if self.best_checkpoint is None:
             model.variables = {
                 "params": jax.device_get(state.params),

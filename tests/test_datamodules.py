@@ -91,3 +91,42 @@ def test_synthetic_datamodule_end_to_end(tmp_path):
     assert dm.X_train.shape == (100, 24, 1)
     assert dm.X_test.shape == (100, 24, 1)
     assert np.abs(dm.X_train).max() <= 1.0 + 1e-6  # sinusoids
+
+
+def test_loader_reshuffles_each_epoch():
+    """One loader iterated twice yields different batch orders (torch
+    DataLoader(shuffle=True) semantics) over the same sample multiset."""
+    dm = DummyDatamodule(batch_size=50)
+    loader = dm.train_dataloader()
+    epoch0 = list(loader)
+    epoch1 = list(loader)
+    assert any(
+        not np.array_equal(a, b) for a, b in zip(epoch0, epoch1)
+    ), "second epoch repeated the first epoch's batch order"
+    flat0 = np.sort(np.concatenate(epoch0, axis=0).ravel())
+    flat1 = np.sort(np.concatenate(epoch1, axis=0).ravel())
+    np.testing.assert_array_equal(flat0, flat1)
+
+
+def test_loader_skip_epochs_replays_sequence():
+    dm = DummyDatamodule(batch_size=50)
+    loader = dm.train_dataloader()
+    list(loader)  # epoch 0
+    epoch1 = list(loader)
+    fresh = dm.train_dataloader()
+    fresh.skip_epochs(1)
+    epoch1_replay = list(fresh)
+    for a, b in zip(epoch1, epoch1_replay):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_datamodule_memoizes_datasets():
+    """Dataset construction (full-split DFT) must not repeat per epoch."""
+    dm = DummyDatamodule(batch_size=50)
+    assert dm.train_dataloader().dataset is dm.train_dataloader().dataset
+    assert dm.val_dataloader().dataset is dm.val_dataloader().dataset
+    assert dm.test_dataloader().dataset is dm.test_dataloader().dataset
+    # Replacing the split invalidates the cache.
+    ds_old = dm.train_dataloader().dataset
+    dm.X_train = dm.X_train.copy()
+    assert dm.train_dataloader().dataset is not ds_old

@@ -77,3 +77,32 @@ def test_random_timesteps_in_range():
     x = jax.random.normal(jax.random.PRNGKey(6), (BATCH, MAX_LEN, CHANNELS))
     loss = sde_loss(const_apply(0.0), None, sde, x, jax.random.PRNGKey(7), train=False)
     assert np.isfinite(float(loss))
+
+
+def test_sample_weight_reproduces_partial_batch_mean():
+    """0/1 weights on a padded batch == exact loss of the unpadded batch.
+
+    The deterministic const_apply score makes the loss independent of the
+    padded rows' contents only through the weights, so equality is exact up
+    to the per-sample t/z draws — pin timesteps and compare against a
+    hand-weighted mean.
+    """
+    sde = VPScheduler().with_noise_scaling(MAX_LEN)
+    x = jax.random.normal(jax.random.PRNGKey(8), (BATCH, MAX_LEN, CHANNELS))
+    t = jnp.full((BATCH,), 0.4)
+    key = jax.random.PRNGKey(9)
+    w = jnp.array([1.0] * (BATCH - 2) + [0.0, 0.0])
+    weighted = sde_loss(
+        const_apply(0.0), None, sde, x, key, timesteps=t, train=False,
+        sample_weight=w,
+    )
+    # Recompute the same per-sample losses and weight them by hand
+    # (score ≡ 0 → per-sample loss = λ_b · mean(z²/std²), λ_b = 1/Σ 1/var).
+    _, key_z, _ = jax.random.split(key, 3)
+    z = jax.random.normal(key_z, x.shape, dtype=x.dtype)
+    _, std = sde.marginal_prob(x, t)
+    lam = 1.0 / jnp.sum(1.0 / std**2, axis=1)
+    per = lam[:, None, None] * (z / std[..., None]) ** 2
+    per_sample = jnp.mean(per.reshape(BATCH, -1), axis=-1)
+    expected = float(jnp.sum(w * per_sample) / jnp.sum(w))
+    np.testing.assert_allclose(float(weighted), expected, rtol=1e-5)
