@@ -195,9 +195,15 @@ def bench_frontier(args) -> None:
     # training config (Pallas fwd+bwd — its custom VJP stores only q/k/v
     # residuals, so it also fits batch 512 where einsum's fp32 softmax
     # residuals OOM).
-    for impl, dtype, short in (
-        ("einsum", "float32", "einsum_fp32"),
-        ("blockdiag", "bfloat16", "blockdiag_bf16"),
+    # The *_resident arm runs the device-resident training loop
+    # (Trainer(epochs_per_call=2): both epochs in ONE jitted dispatch, data
+    # in HBM, device-side shuffle) — the other arms use the host loop with
+    # chunked dispatch (steps_per_call=16).
+    for impl, dtype, short, tkw in (
+        ("einsum", "float32", "einsum_fp32", {}),
+        ("blockdiag", "bfloat16", "blockdiag_bf16", {}),
+        ("blockdiag", "bfloat16", "blockdiag_bf16_resident",
+         {"epochs_per_call": 2}),
     ):
         for batch in (64, 128, 256, 512):
             name = f"train_{short}_b{batch}"
@@ -224,11 +230,14 @@ def bench_frontier(args) -> None:
                 )
 
             try:
-                Trainer(max_epochs=1, run_dir=tempfile.mkdtemp(), seed=42,
-                        log_every_n_steps=10_000).fit(fresh_model(), dm)  # warm
+                # Warm with the SAME epoch count/chunking as the timed fit:
+                # the resident loop's scan length is part of the compiled
+                # program, so a 1-epoch warmup would not warm the cache.
+                Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
+                        log_every_n_steps=10_000, **tkw).fit(fresh_model(), dm)
                 t0 = time.time()
                 Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
-                        log_every_n_steps=10_000).fit(fresh_model(), dm)
+                        log_every_n_steps=10_000, **tkw).fit(fresh_model(), dm)
             except Exception as exc:  # OOM/device fault: record, keep going
                 frontier[name] = {"error": str(exc)[:200], "batch": batch}
                 print(f"{name:<22} FAILED: {str(exc)[:120]}", file=sys.stderr)
