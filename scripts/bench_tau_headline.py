@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""τ₀ frontier at the HEADLINE protocol (T=1000, 512 samples as 4×128 per
+dispatch, bench-trained flagship).
+
+The device-resident sampler made the cached chain full-step-bound (~84% of
+per-batch cost is the ~5% of steps that still run the score network), so
+the remaining speed lever is the skip budget.  This sweep measures, per
+τ₀, the realized skip ratio, throughput, and SW distance vs the uncached
+run against the independent-run noise floor — to find the largest budget
+whose quality stays comfortably inside the floor at the exact protocol
+bench.py reports.
+
+Writes docs/benchmarks/tau_headline.json incrementally.
+
+Reference context: the T=500/batch-128 sweep (flagship_synthetic_freq_
+T500.csv) put the floor-crossing between τ₀=2 and 5 on a 40-epoch model;
+this re-asks the question on the bench-trained (25-epoch) model at the
+bench protocol, where margins directly gate the headline claim.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fdtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import numpy as np
+
+OUT = Path(__file__).resolve().parent.parent / "docs/benchmarks/tau_headline.json"
+
+
+def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--bpc", type=int, default=4)
+    parser.add_argument("--epochs", type=int, default=25)
+    parser.add_argument(
+        "--taus", type=float, nargs="+", default=[1.0, 1.5, 2.0, 3.0]
+    )
+    args = parser.parse_args()
+
+    from bench import CACHE_KWARGS, build_model, measure
+
+    from fdtpu.metrics import SlicedWasserstein
+    from fdtpu.sampling import DiffusionSampler
+
+    n = args.batch * args.bpc
+    model = build_model(max_len=187, trained=True, epochs=args.epochs)
+
+    payload = json.loads(OUT.read_text()) if OUT.exists() else {}
+    payload["config"] = {
+        "steps": args.steps, "batch": args.batch, "bpc": args.bpc,
+        "epochs": args.epochs, "cache_base": CACHE_KWARGS,
+    }
+    results = payload.setdefault("results", {})
+
+    uncached = DiffusionSampler(
+        model, sample_batch_size=args.batch, batches_per_call=args.bpc
+    )
+    t_un, sps_un = measure(uncached, n, args.steps, jax.random.PRNGKey(1))
+    s_base = uncached.sample(n, args.steps, key=jax.random.PRNGKey(1))
+    s_base2 = uncached.sample(n, args.steps, key=jax.random.PRNGKey(99))
+    sw = SlicedWasserstein(
+        original_samples=s_base, random_seed=42, num_directions=200
+    )
+    floor = float(sw(s_base2)["sliced_wasserstein_mean"])
+    results["uncached"] = {"time_s": t_un, "samples_per_s_chip": sps_un,
+                           "sw_noise_floor": floor}
+    print(f"uncached {sps_un:.1f} samples/s, floor {floor:.3f}", file=sys.stderr)
+    OUT.write_text(json.dumps(payload, indent=2))
+
+    for tau in args.taus:
+        name = f"tau{tau:g}"
+        kw = dict(CACHE_KWARGS, tau_0=tau)
+        sampler = DiffusionSampler(
+            model, sample_batch_size=args.batch, use_cache=True,
+            cache_kwargs=kw, batches_per_call=args.bpc,
+        )
+        t0 = time.time()
+        t_ca, sps_ca = measure(sampler, n, args.steps, jax.random.PRNGKey(1))
+        stats = sampler.get_cache_stats()
+        sampler.last_cache_state = None
+        s_ca = sampler.sample(n, args.steps, key=jax.random.PRNGKey(1))
+        dist = float(sw(s_ca)["sliced_wasserstein_mean"])
+        results[name] = {
+            "tau_0": tau,
+            "time_s": t_ca,
+            "samples_per_s_chip": sps_ca,
+            "speedup": t_un / t_ca,
+            "steps_skipped_ratio": stats["steps_skipped_ratio"],
+            "sw_vs_uncached": dist,
+            "within_floor": dist <= floor,
+            "guard_overrun_ratio": stats.get("budget_overrun_ratio"),
+            "realized_err_max": stats.get("realized_err_max"),
+            "wall_s": time.time() - t0,
+        }
+        print(
+            f"{name:<8} {sps_ca:7.1f} samples/s  {t_un / t_ca:6.2f}x  "
+            f"skipped {100 * stats['steps_skipped_ratio']:.1f}%  "
+            f"SW {dist:.3f} (floor {floor:.3f})",
+            file=sys.stderr,
+        )
+        OUT.write_text(json.dumps(payload, indent=2))
+
+    assert np.isfinite(s_base).all()
+    print(json.dumps({k: v.get("speedup") for k, v in results.items()
+                      if "speedup" in v}))
+
+
+if __name__ == "__main__":
+    main()
