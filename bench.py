@@ -45,10 +45,14 @@ import numpy as np
 
 REFERENCE_AVG_SPEEDUP = 3.2  # paper §4.1: 2.1–4.3× across 5 datasets (CPU)
 
-# Quality-validated cache setting on trained flagship models: ~84% of steps
+# Quality-validated cache setting on trained flagship models: ~96% of steps
 # skipped with the cached samples' SW distance to the uncached run well below
-# the independent-run noise floor (see README "Measured").
-CACHE_KWARGS = {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1}
+# the independent-run noise floor AND the error-budget guard silent.  From
+# the headline-protocol τ₀ frontier (docs/benchmarks/tau_headline.json,
+# T=1000, n=512): τ₀=1.2 → SW 0.325 vs floor 0.581 with guard err_max 3.09;
+# τ₀=1.35 already trips the guard (err_max 4.21) and τ₀=1.5 crosses the
+# floor (SW 0.754).
+CACHE_KWARGS = {"level": "score", "R": 100, "tau_0": 1.2, "eps_order": 1}
 
 
 def measure(sampler, num_samples, steps, key, min_total_s: float = 20.0,
