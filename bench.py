@@ -141,7 +141,9 @@ def main() -> None:
     # once per batch — it otherwise dominates cached trajectories that
     # execute in ~0.3 s.  Identical sample values / cache semantics to the
     # per-batch loop (tests/test_resident_sampling.py).
-    bpc = 2 if args.quick else args.batches_per_call
+    # --quick caps the grouping at 2 (smoke both the resident path and the
+    # group logic fast) but still honors an explicit lower --batches-per-call.
+    bpc = min(args.batches_per_call, 2) if args.quick else args.batches_per_call
     num_samples = batch * bpc
 
     model = build_model(max_len=187, trained=not args.quick, epochs=args.epochs)

@@ -94,6 +94,74 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
     )
 
 
+def collapse_skip_span(
+    scheduler: SDE,
+    x: Array,
+    scores: Array,
+    zs: Array,
+    ts_blk: Array,
+    step_size: Array,
+) -> Array:
+    """Collapse ``k`` consecutive sampler steps with x-INDEPENDENT scores
+    into one update.
+
+    Valid whenever ``scheduler.step`` is affine-diagonal in
+    ``(sample, model_output, noise)`` with no constant term — true for the
+    VP and VE Euler–Maruyama steps (sde.py: ``x - drift·Δt + √Δt·diag·z``
+    where drift is linear in ``x`` and ``model_output``).  The per-step
+    gain ``a_i = step(0, t_i, 1, 0, h)`` and offset
+    ``u_i = step(score_i, t_i, 0, z_i, h)`` are probed from the scheduler
+    itself (vectorized over the block), so any scheduler with that
+    structure works without per-scheduler math here.  The exact recurrence
+    ``x_{i+1} = a_i ⊙ x_i + u_i`` then telescopes to::
+
+        X = (Π_i a_i) ⊙ x + Σ_i (Π_{j>i} a_j) ⊙ u_i
+
+    Args: ``scores`` (k, B, T, C) per-step scores; ``zs`` (k, B, T, C)
+    per-step reverse noises; ``ts_blk`` (k,) timesteps.  Returns the state
+    after the k steps — identical (up to float reassociation) to applying
+    ``scheduler.step`` k times sequentially with the same inputs.
+    """
+    shape1 = (1,) + x.shape[1:]
+    zeros1 = jnp.zeros(shape1, x.dtype)
+    ones1 = jnp.ones(shape1, x.dtype)
+    a = jax.vmap(
+        lambda t: scheduler.step(zeros1, t, ones1, zeros1, step_size)
+    )(ts_blk)  # (k, 1, T, C): per-token gain (scalar for VP, 1 for VE)
+    u = jax.vmap(
+        lambda s, t, z: scheduler.step(s, t, jnp.zeros_like(x), z, step_size)
+    )(scores, ts_blk, zs)  # (k, B, T, C)
+    rcum = jnp.flip(jnp.cumprod(jnp.flip(a, axis=0), axis=0), axis=0)
+    w = jnp.concatenate([rcum[1:], jnp.ones_like(rcum[:1])], axis=0)
+    return rcum[0] * x + jnp.sum(w * u, axis=0)
+
+
+def _cast_variables(variables: dict[str, Any], model_cfg: ScoreModelConfig):
+    """Mixed precision: cast the variables ONCE, outside the compiled scan —
+    otherwise the fp32→bf16 parameter conversion is traced into every
+    diffusion step.  Shared by the per-batch and device-resident entry
+    points so their numerics stay identical."""
+    if model_cfg._cdtype == jnp.float32:
+        return variables
+    return jax.tree.map(lambda a: a.astype(model_cfg._cdtype), variables)
+
+
+def _prep_cache_for_new_batch(
+    state: CacheState, fresh: Optional[CacheState], reset: bool
+) -> CacheState:
+    """Cross-batch cache prep (quirk Q5), the ONE place both the host loop
+    and the resident scan use: a new trajectory either re-inits the store
+    (``reset_between_batches``) or keeps it but marks it cold so the first
+    steps recompute and re-calibrate the drift rate."""
+    if reset:
+        assert fresh is not None
+        return fresh
+    return state.replace(
+        cold=jnp.ones((), bool),
+        drift_rate=jnp.zeros((), state.drift_rate.dtype),
+    )
+
+
 def _normalize_cache_cfg(
     cache_cfg: Optional[E2CRFConfig],
 ) -> tuple[Optional[PolicyParams], Optional[E2CRFConfig]]:
@@ -139,11 +207,7 @@ def sample_chain(
     only structural choices (policy, level, FreqCa) recompile.
     """
     pp, cache_cfg = _normalize_cache_cfg(cache_cfg)
-    # Mixed precision: cast the variables ONCE here, outside the compiled
-    # scan — otherwise the fp32→bf16 parameter conversion is traced into
-    # every diffusion step.
-    if model_cfg._cdtype != jnp.float32:
-        variables = jax.tree.map(lambda a: a.astype(model_cfg._cdtype), variables)
+    variables = _cast_variables(variables, model_cfg)
     return _sample_chain(
         variables,
         scheduler,
@@ -212,41 +276,44 @@ def _sample_chain_impl(
         return x, None
 
     max_len = model_cfg.max_len
+    order = cache_cfg.eps_order if use_cache else 0
+
+    def eps_predict(c: CacheState, steps_ahead):
+        """Extrapolate ε̂ ``steps_ahead`` past the last full computation.
+
+        Order 0: frozen reuse.  Order 1: linear from the last two full
+        computations.  Order 2: quadratic (Newton form) from the last
+        three — the FreqCa trajectory-prediction idea at the ε level.
+        ``steps_ahead`` broadcasts: a scalar gives one step's prediction,
+        a (k,1,1,1) vector gives a whole span's (the block-collapsed path).
+        """
+        if order == 0:
+            # Frozen reuse; the zero product keeps broadcasting against a
+            # (k,1,1,1) span vector identical to the higher orders.
+            return c.eps_hat + 0.0 * steps_ahead
+        slope1 = jnp.where(
+            c.eps_gap > 0, (c.eps_hat - c.eps_prev) / jnp.maximum(c.eps_gap, 1), 0.0
+        )
+        pred = c.eps_hat + slope1 * steps_ahead
+        if order >= 2:
+            slope2 = jnp.where(
+                c.eps_gap2 > 0,
+                (c.eps_prev - c.eps_prev2) / jnp.maximum(c.eps_gap2, 1),
+                0.0,
+            )
+            span = jnp.maximum(c.eps_gap + c.eps_gap2, 1.0) / 2.0
+            curvature = jnp.where(
+                (c.eps_gap > 0) & (c.eps_gap2 > 0),
+                (slope1 - slope2) / span, 0.0,
+            )
+            pred = pred + 0.5 * curvature * steps_ahead * (steps_ahead + c.eps_gap)
+        return pred
 
     def score_level_body(carry, t):
         x, k, cache = carry
         k, k_noise = jax.random.split(k)
         t_batch = jnp.full((batch,), t, x.dtype)
         _, std = scheduler.marginal_prob(x, t_batch)
-
-        order = cache_cfg.eps_order
-
-        def eps_predict(c: CacheState, steps_ahead):
-            """Extrapolate ε̂ ``steps_ahead`` past the last full computation.
-
-            Order 0: frozen reuse.  Order 1: linear from the last two full
-            computations.  Order 2: quadratic (Newton form) from the last
-            three — the FreqCa trajectory-prediction idea at the ε level.
-            """
-            if order == 0:
-                return c.eps_hat
-            slope1 = jnp.where(
-                c.eps_gap > 0, (c.eps_hat - c.eps_prev) / jnp.maximum(c.eps_gap, 1), 0.0
-            )
-            pred = c.eps_hat + slope1 * steps_ahead
-            if order >= 2:
-                slope2 = jnp.where(
-                    c.eps_gap2 > 0,
-                    (c.eps_prev - c.eps_prev2) / jnp.maximum(c.eps_gap2, 1),
-                    0.0,
-                )
-                span = jnp.maximum(c.eps_gap + c.eps_gap2, 1.0) / 2.0
-                curvature = jnp.where(
-                    (c.eps_gap > 0) & (c.eps_gap2 > 0),
-                    (slope1 - slope2) / span, 0.0,
-                )
-                pred = pred + 0.5 * curvature * steps_ahead * (steps_ahead + c.eps_gap)
-            return pred
 
         def full_fn(c: CacheState):
             score = score_apply(variables, model_cfg, x, t_batch)
@@ -480,6 +547,70 @@ def _sample_chain_impl(
         body = token_level_body
     else:
         body = kv_level_body
+
+    kblk = cache_cfg.block_size if cache_cfg.level == "score" else 0
+    if kblk > 1 and num_steps >= kblk:
+        # Block-collapsed score-level execution: scan over blocks of kblk
+        # steps; a block whose steps would ALL skip (closed-form lookahead)
+        # runs as ONE iteration — the skip-step score is x-independent, so
+        # the span is an affine map of x (collapse_skip_span).  PRNG
+        # consumption, policy decisions and counters match per-step
+        # execution exactly; values agree up to float reassociation of the
+        # telescoped span (~1e-6 per block).
+        from fdtpu.cache.e2crf import score_block_all_skip
+
+        def block_body(carry, t_blk):
+            def per_step(operand):
+                return jax.lax.scan(score_level_body, operand, t_blk)[0]
+
+            def collapsed(operand):
+                x, k, cache = operand
+                # Replicate the per-step PRNG stream EXACTLY: the per-step
+                # body consumes one split per step; unrolling the k scalar
+                # splits here (trivial threefry hashes inside one iteration)
+                # and batching the normal draws over the stacked keys
+                # produces bit-identical noise to per-step execution, so
+                # the two modes agree in VALUE, not just distribution.
+                noise_keys = []
+                for _ in range(kblk):
+                    k, k_noise = jax.random.split(k)
+                    noise_keys.append(k_noise)
+                zs = jax.vmap(
+                    lambda kk: jax.random.normal(kk, x.shape, x.dtype)
+                )(jnp.stack(noise_keys))
+                m0 = (cache.step - cache.last_full_step + 1).astype(x.dtype)
+                steps_ahead = (
+                    m0 + jnp.arange(kblk, dtype=x.dtype)[:, None, None, None]
+                )
+                eps = eps_predict(cache, steps_ahead)  # (k, B, T, C)
+                _, std_blk = scheduler.marginal_prob(
+                    jnp.zeros((kblk,) + x.shape[1:], x.dtype), t_blk
+                )  # (k, T)
+                scores = -eps / std_blk[:, None, :, None]
+                if use_fresca:
+                    scores = jax.vmap(maybe_fresca)(scores, t_blk)
+                x = collapse_skip_span(
+                    scheduler, x, scores, zs, t_blk, step_size
+                )
+                cache = cache.replace(
+                    err_acc=cache.err_acc + kblk * cache.drift_rate,
+                    cached_steps=cache.cached_steps + kblk,
+                    cache_hit_count=cache.cache_hit_count + kblk * max_len,
+                    step=cache.step + kblk,
+                )
+                return x, k, cache
+
+            x, k, cache = carry
+            all_skip = score_block_all_skip(cache_cfg, pp, cache, kblk)
+            return jax.lax.cond(all_skip, collapsed, per_step, (x, k, cache)), None
+
+        nblk = num_steps // kblk
+        ts_main = ts[: nblk * kblk].reshape(nblk, kblk)
+        carry, _ = jax.lax.scan(block_body, (x0, key, cache_state), ts_main)
+        # Remainder steps (num_steps % block_size) run per-step.
+        (x, _, cache_state), _ = jax.lax.scan(body, carry, ts[nblk * kblk:])
+        return x, cache_state
+
     (x, _, cache_state), _ = jax.lax.scan(body, (x0, key, cache_state), ts)
     return x, cache_state
 
@@ -571,11 +702,8 @@ def _sample_batches_resident(
         )
 
         def prep_for_new_batch(state: CacheState) -> CacheState:
-            if cache_cfg.reset_between_batches:
-                return fresh
-            return state.replace(
-                cold=jnp.ones((), bool),
-                drift_rate=jnp.zeros((), state.drift_rate.dtype),
+            return _prep_cache_for_new_batch(
+                state, fresh, cache_cfg.reset_between_batches
             )
 
     def body(carry, _):
@@ -597,8 +725,10 @@ def _sample_batches_resident(
             k_chain,
             state,
             pp,
-            fresca_low_scale,
-            fresca_high_scale,
+            # Match the host wrapper's scale dtype (sample_chain casts to
+            # x0.dtype) so both paths compute FreSca at the same precision.
+            fresca_low_scale.astype(x0.dtype),
+            fresca_high_scale.astype(x0.dtype),
             model_cfg=model_cfg,
             cache_cfg=cache_cfg,
             num_steps=num_steps,
@@ -670,6 +800,16 @@ class DiffusionSampler:
             raise ValueError(
                 "level='token' needs 1 <= token_budget <= max_len "
                 f"(got {self.cache_config.token_budget}, max_len {self.max_len})"
+            )
+        if (
+            self.cache_config is not None
+            and self.cache_config.block_size > 1
+            and self.cache_config.level != "score"
+        ):
+            raise ValueError(
+                "block_size (block-collapsed skip execution) is a "
+                "score-level mechanism; got level="
+                f"{self.cache_config.level!r}"
             )
         if (
             self.cache_config is not None
@@ -761,13 +901,11 @@ class DiffusionSampler:
             ):
                 cache_state = self._init_cache(batch_size)
             elif self.use_cache and batch_idx > 0:
-                # Cache persists across batches (reference quirk Q5), but a
-                # new trajectory must not reuse the previous trajectory's
-                # cached prediction: mark the cache cold so the first steps
-                # of this batch recompute and re-calibrate the drift rate.
-                cache_state = cache_state.replace(
-                    cold=jnp.ones((), bool),
-                    drift_rate=jnp.zeros((), cache_state.drift_rate.dtype),
+                # Cache persists across batches (reference quirk Q5) but is
+                # marked cold for the new trajectory (shared with the
+                # resident scan so the two paths cannot drift apart).
+                cache_state = _prep_cache_for_new_batch(
+                    cache_state, None, reset=False
                 )
 
             if self.mesh is not None:
@@ -810,11 +948,7 @@ class DiffusionSampler:
         pp, cache_cfg = _normalize_cache_cfg(
             self.cache_config if self.use_cache else None
         )
-        variables = self.score_model.variables
-        if model_cfg._cdtype != jnp.float32:
-            variables = jax.tree.map(
-                lambda a: a.astype(model_cfg._cdtype), variables
-            )
+        variables = _cast_variables(self.score_model.variables, model_cfg)
         cache_state = self._init_cache(batch)
         x0_sharding = None
         if self.mesh is not None:
@@ -826,9 +960,8 @@ class DiffusionSampler:
 
         all_samples = []
         first = True
-        done = 0
-        while done < num_batches:
-            g = min(self.batches_per_call, num_batches - done)
+        num_groups, tail = divmod(num_batches, self.batches_per_call)
+        for _ in range(num_groups):
             xs, key, cache_state = _sample_batches_resident(
                 variables,
                 self.noise_scheduler,
@@ -840,7 +973,7 @@ class DiffusionSampler:
                 model_cfg=model_cfg,
                 cache_cfg=cache_cfg,
                 num_steps=num_steps,
-                num_batches=g,
+                num_batches=self.batches_per_call,
                 batch_size=batch,
                 first_is_fresh=first,
                 x0_sharding=x0_sharding,
@@ -849,9 +982,50 @@ class DiffusionSampler:
                 fresca_cutoff_strategy=self.fresca_cutoff_strategy,
             )
             first = False
-            done += g
             xs = np.asarray(jax.block_until_ready(xs))
-            all_samples.append(xs.reshape(g * batch, *xs.shape[2:]))
+            all_samples.append(
+                xs.reshape(self.batches_per_call * batch, *xs.shape[2:])
+            )
+
+        # Remainder (< batches_per_call) runs through the standard
+        # per-batch program: a tail-sized resident group would be a SECOND
+        # static scan length, i.e. a full T-step recompile (minutes on the
+        # remote compiler) to save one or two dispatches.  PRNG sequence
+        # and cross-batch cache semantics are the same either way.
+        for _ in range(tail):
+            key, k_prior, k_chain = jax.random.split(key, 3)
+            x0 = self.sample_prior(k_prior, batch)
+            if self.use_cache and not first:
+                if cache_cfg.reset_between_batches:
+                    cache_state = self._init_cache(batch)
+                    if self.mesh is not None:
+                        cache_state = _shard_cache_state(self.mesh, cache_state)
+                else:
+                    cache_state = _prep_cache_for_new_batch(
+                        cache_state, None, reset=False
+                    )
+            if self.mesh is not None:
+                from fdtpu.dist.mesh import shard_batch
+
+                x0 = shard_batch(self.mesh, x0)
+            x, cache_state = _sample_chain(
+                variables,
+                self.noise_scheduler,
+                x0,
+                k_chain,
+                cache_state,
+                pp,
+                jnp.asarray(self.fresca_low_scale, x0.dtype),
+                jnp.asarray(self.fresca_high_scale, x0.dtype),
+                model_cfg=model_cfg,
+                cache_cfg=cache_cfg,
+                num_steps=num_steps,
+                use_fresca=self.use_fresca,
+                fresca_cutoff_ratio=self.fresca_cutoff_ratio,
+                fresca_cutoff_strategy=self.fresca_cutoff_strategy,
+            )
+            first = False
+            all_samples.append(np.asarray(jax.block_until_ready(x)))
 
         self.last_cache_state = cache_state
         self._check_error_budget()

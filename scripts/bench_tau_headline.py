@@ -62,10 +62,17 @@ def main() -> None:
     model = build_model(max_len=187, trained=True, epochs=args.epochs)
 
     payload = json.loads(OUT.read_text()) if OUT.exists() else {}
-    payload["config"] = {
+    config = {
         "steps": args.steps, "batch": args.batch, "bpc": args.bpc,
-        "epochs": args.epochs, "cache_base": CACHE_KWARGS,
+        "epochs": args.epochs,
+        # tau_0 is the swept knob — excluded so adopting a new headline
+        # default in bench.py does not invalidate the frontier artifact.
+        "cache_base": {k: v for k, v in CACHE_KWARGS.items() if k != "tau_0"},
     }
+    if payload.get("config") != config:
+        # Protocol changed: stale arms measured under a different protocol
+        # must not coexist with the new config block.
+        payload = {"config": config, "results": {}}
     results = payload.setdefault("results", {})
 
     uncached = DiffusionSampler(
@@ -105,6 +112,7 @@ def main() -> None:
             "sw_vs_uncached": dist,
             "within_floor": dist <= floor,
             "guard_overrun_ratio": stats.get("budget_overrun_ratio"),
+            "realized_err_mean": stats.get("realized_err_mean"),
             "realized_err_max": stats.get("realized_err_max"),
             "wall_s": time.time() - t0,
         }
