@@ -95,20 +95,6 @@ class E2CRFConfig:
     # fidelity at matched τ but its curvature term amplifies over long
     # skips, so 1 remains the best skip-rate/quality frontier and default.
     eps_order: int = 1
-    # Score-level block-collapsed skip execution: >1 restructures the
-    # sampling scan into blocks of this many steps.  A block whose steps
-    # would ALL skip (closed-form policy lookahead — err_acc grows
-    # deterministically during a skip span) executes as ONE scan iteration:
-    # the score is x-independent on skip steps, so the span is an affine
-    # map of x that collapses to a vectorized (k,B,T,C) computation with
-    # one batched noise draw.  Cuts the sequential-iteration latency that
-    # dominates long skip spans (~0.13 ms/step floor on TPU even for the
-    # trivial skip body).  PRNG consumption, policy decisions and counters
-    # are IDENTICAL to per-step execution (the fast path unrolls the k key
-    # splits and batches the normal draws — bit-identical noise); sample
-    # values agree up to float reassociation of the telescoped span.
-    # 0/1 = off (per-step, the default).
-    block_size: int = 0
     random_probe_ratio: float = 0.0
     # Ablation switch: weight per-token CRF drift by spectral energy
     # (paper's energy weighting; reference ablation "no_energy_weighting").
@@ -174,7 +160,6 @@ class E2CRFConfig:
             self.level,
             self.token_budget,
             self.eps_order,
-            self.block_size,
             self.use_freqca,
             self.freq_decomp,
             self.low_freq_ratio,
@@ -425,31 +410,6 @@ def score_skip_decision(
     interval_expired = (step - state.last_full_step) >= pp.R
     budget_exceeded = state.err_acc >= effective_tau(cfg, pp, state)
     return state.cold | is_calibration | interval_expired | budget_exceeded
-
-
-def score_block_all_skip(
-    cfg: E2CRFConfig, pp: PolicyParams, state: CacheState, k: int
-) -> Array:
-    """Closed-form lookahead: would the next ``k`` steps ALL skip?
-
-    During a skip span the only policy inputs that change are ``step``
-    (+1 per step) and ``err_acc`` (+``drift_rate`` per step) — both
-    deterministic — so :func:`score_skip_decision` can be evaluated for
-    all ``k`` future steps at once without running them.  ``overrun``
-    (τ₀ auto-calibration) and ``drift_rate`` only change on full steps,
-    hence are constants over the span.
-    """
-    i = jnp.arange(k)
-    since = (state.step - state.last_full_step) + i
-    err_i = state.err_acc + i.astype(state.err_acc.dtype) * state.drift_rate
-    is_calibration = (since == 1) & (state.drift_rate == 0)
-    would_full = (
-        state.cold
-        | is_calibration
-        | (since >= pp.R)
-        | (err_i >= effective_tau(cfg, pp, state))
-    )
-    return ~jnp.any(would_full)
 
 
 TOKEN_FULL = 0

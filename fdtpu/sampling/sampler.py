@@ -94,48 +94,6 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
     )
 
 
-def collapse_skip_span(
-    scheduler: SDE,
-    x: Array,
-    scores: Array,
-    zs: Array,
-    ts_blk: Array,
-    step_size: Array,
-) -> Array:
-    """Collapse ``k`` consecutive sampler steps with x-INDEPENDENT scores
-    into one update.
-
-    Valid whenever ``scheduler.step`` is affine-diagonal in
-    ``(sample, model_output, noise)`` with no constant term — true for the
-    VP and VE Euler–Maruyama steps (sde.py: ``x - drift·Δt + √Δt·diag·z``
-    where drift is linear in ``x`` and ``model_output``).  The per-step
-    gain ``a_i = step(0, t_i, 1, 0, h)`` and offset
-    ``u_i = step(score_i, t_i, 0, z_i, h)`` are probed from the scheduler
-    itself (vectorized over the block), so any scheduler with that
-    structure works without per-scheduler math here.  The exact recurrence
-    ``x_{i+1} = a_i ⊙ x_i + u_i`` then telescopes to::
-
-        X = (Π_i a_i) ⊙ x + Σ_i (Π_{j>i} a_j) ⊙ u_i
-
-    Args: ``scores`` (k, B, T, C) per-step scores; ``zs`` (k, B, T, C)
-    per-step reverse noises; ``ts_blk`` (k,) timesteps.  Returns the state
-    after the k steps — identical (up to float reassociation) to applying
-    ``scheduler.step`` k times sequentially with the same inputs.
-    """
-    shape1 = (1,) + x.shape[1:]
-    zeros1 = jnp.zeros(shape1, x.dtype)
-    ones1 = jnp.ones(shape1, x.dtype)
-    a = jax.vmap(
-        lambda t: scheduler.step(zeros1, t, ones1, zeros1, step_size)
-    )(ts_blk)  # (k, 1, T, C): per-token gain (scalar for VP, 1 for VE)
-    u = jax.vmap(
-        lambda s, t, z: scheduler.step(s, t, jnp.zeros_like(x), z, step_size)
-    )(scores, ts_blk, zs)  # (k, B, T, C)
-    rcum = jnp.flip(jnp.cumprod(jnp.flip(a, axis=0), axis=0), axis=0)
-    w = jnp.concatenate([rcum[1:], jnp.ones_like(rcum[:1])], axis=0)
-    return rcum[0] * x + jnp.sum(w * u, axis=0)
-
-
 def _cast_variables(variables: dict[str, Any], model_cfg: ScoreModelConfig):
     """Mixed precision: cast the variables ONCE, outside the compiled scan —
     otherwise the fp32→bf16 parameter conversion is traced into every
@@ -284,12 +242,11 @@ def _sample_chain_impl(
         Order 0: frozen reuse.  Order 1: linear from the last two full
         computations.  Order 2: quadratic (Newton form) from the last
         three — the FreqCa trajectory-prediction idea at the ε level.
-        ``steps_ahead`` broadcasts: a scalar gives one step's prediction,
-        a (k,1,1,1) vector gives a whole span's (the block-collapsed path).
+        ``steps_ahead`` broadcasts, so a vector predicts a whole span.
         """
         if order == 0:
             # Frozen reuse; the zero product keeps broadcasting against a
-            # (k,1,1,1) span vector identical to the higher orders.
+            # span vector identical to the higher orders.
             return c.eps_hat + 0.0 * steps_ahead
         slope1 = jnp.where(
             c.eps_gap > 0, (c.eps_hat - c.eps_prev) / jnp.maximum(c.eps_gap, 1), 0.0
@@ -548,69 +505,16 @@ def _sample_chain_impl(
     else:
         body = kv_level_body
 
-    kblk = cache_cfg.block_size if cache_cfg.level == "score" else 0
-    if kblk > 1 and num_steps >= kblk:
-        # Block-collapsed score-level execution: scan over blocks of kblk
-        # steps; a block whose steps would ALL skip (closed-form lookahead)
-        # runs as ONE iteration — the skip-step score is x-independent, so
-        # the span is an affine map of x (collapse_skip_span).  PRNG
-        # consumption, policy decisions and counters match per-step
-        # execution exactly; values agree up to float reassociation of the
-        # telescoped span (~1e-6 per block).
-        from fdtpu.cache.e2crf import score_block_all_skip
-
-        def block_body(carry, t_blk):
-            def per_step(operand):
-                return jax.lax.scan(score_level_body, operand, t_blk)[0]
-
-            def collapsed(operand):
-                x, k, cache = operand
-                # Replicate the per-step PRNG stream EXACTLY: the per-step
-                # body consumes one split per step; unrolling the k scalar
-                # splits here (trivial threefry hashes inside one iteration)
-                # and batching the normal draws over the stacked keys
-                # produces bit-identical noise to per-step execution, so
-                # the two modes agree in VALUE, not just distribution.
-                noise_keys = []
-                for _ in range(kblk):
-                    k, k_noise = jax.random.split(k)
-                    noise_keys.append(k_noise)
-                zs = jax.vmap(
-                    lambda kk: jax.random.normal(kk, x.shape, x.dtype)
-                )(jnp.stack(noise_keys))
-                m0 = (cache.step - cache.last_full_step + 1).astype(x.dtype)
-                steps_ahead = (
-                    m0 + jnp.arange(kblk, dtype=x.dtype)[:, None, None, None]
-                )
-                eps = eps_predict(cache, steps_ahead)  # (k, B, T, C)
-                _, std_blk = scheduler.marginal_prob(
-                    jnp.zeros((kblk,) + x.shape[1:], x.dtype), t_blk
-                )  # (k, T)
-                scores = -eps / std_blk[:, None, :, None]
-                if use_fresca:
-                    scores = jax.vmap(maybe_fresca)(scores, t_blk)
-                x = collapse_skip_span(
-                    scheduler, x, scores, zs, t_blk, step_size
-                )
-                cache = cache.replace(
-                    err_acc=cache.err_acc + kblk * cache.drift_rate,
-                    cached_steps=cache.cached_steps + kblk,
-                    cache_hit_count=cache.cache_hit_count + kblk * max_len,
-                    step=cache.step + kblk,
-                )
-                return x, k, cache
-
-            x, k, cache = carry
-            all_skip = score_block_all_skip(cache_cfg, pp, cache, kblk)
-            return jax.lax.cond(all_skip, collapsed, per_step, (x, k, cache)), None
-
-        nblk = num_steps // kblk
-        ts_main = ts[: nblk * kblk].reshape(nblk, kblk)
-        carry, _ = jax.lax.scan(block_body, (x0, key, cache_state), ts_main)
-        # Remainder steps (num_steps % block_size) run per-step.
-        (x, _, cache_state), _ = jax.lax.scan(body, carry, ts[nblk * kblk:])
-        return x, cache_state
-
+    # NOTE (measured, round 3): a block-collapsed fast path for long skip
+    # spans — telescoping k x-independent steps into one scan iteration
+    # with bit-identical PRNG/policy/counters — was implemented and
+    # benchmarked at commit 5d7845f, and REMOVED: it changes nothing
+    # outside tunnel noise at any operating point (192.2 vs 191.8
+    # samples/s/chip at the 96%-skip headline, 510.6 vs 516.2 at 99% skip,
+    # +5% at batch 8), because TPU scan iterations carry no measurable
+    # launch overhead — the 0.13 ms/step skip body is real compute (noise
+    # draw + ε̂ extrapolation + EM update) that vectorizing over steps
+    # cannot reduce.  Evidence: docs/benchmarks/block_size.json.
     (x, _, cache_state), _ = jax.lax.scan(body, (x0, key, cache_state), ts)
     return x, cache_state
 
@@ -800,16 +704,6 @@ class DiffusionSampler:
             raise ValueError(
                 "level='token' needs 1 <= token_budget <= max_len "
                 f"(got {self.cache_config.token_budget}, max_len {self.max_len})"
-            )
-        if (
-            self.cache_config is not None
-            and self.cache_config.block_size > 1
-            and self.cache_config.level != "score"
-        ):
-            raise ValueError(
-                "block_size (block-collapsed skip execution) is a "
-                "score-level mechanism; got level="
-                f"{self.cache_config.level!r}"
             )
         if (
             self.cache_config is not None
