@@ -81,6 +81,33 @@ def test_resident_group_boundary_matches_host_loop():
         assert st1[k] == pytest.approx(st2[k], rel=1e-5), k
 
 
+def test_resident_bf16_matches_host_loop():
+    """Mixed-precision model through the resident path: the variable cast
+    happens once outside the scan on both paths (shared _cast_variables)."""
+    cfg = ScoreModelConfig(
+        n_channels=CHANNELS, max_len=MAX_LEN, compute_dtype="bfloat16", **TINY
+    )
+    model = ScoreModel(
+        config=cfg,
+        variables=init_score_model(jax.random.PRNGKey(0), cfg),
+        scheduler=VPScheduler(fourier_noise_scaling=True).with_noise_scaling(MAX_LEN),
+        num_training_steps=8,
+    )
+    kwargs = dict(
+        use_cache=True, cache_kwargs={"level": "score", "R": 3, "tau_0": 0.05}
+    )
+    host = DiffusionSampler(model, sample_batch_size=8, **kwargs)
+    resident = DiffusionSampler(
+        model, sample_batch_size=8, batches_per_call=3, **kwargs
+    )
+    s1 = host.sample(24, 6, key=jax.random.PRNGKey(1))
+    s2 = resident.sample(24, 6, key=jax.random.PRNGKey(1))
+    # bf16 forward → looser tolerance; trajectories must still agree.
+    np.testing.assert_allclose(s1, s2, rtol=2e-2, atol=2e-2)
+    st1, st2 = host.get_cache_stats(), resident.get_cache_stats()
+    assert st1["full_steps"] == st2["full_steps"]
+
+
 def test_resident_single_batch_falls_back():
     """num_samples <= batch uses the host path (no grouping possible)."""
     model = make_model()
