@@ -53,16 +53,21 @@ class Datamodule(ABC):
         self.y_train: Optional[np.ndarray] = None
         self.X_test: np.ndarray = np.zeros((0, 0, 0), np.float32)
         self.y_test: Optional[np.ndarray] = None
-        # Split -> (cache key, DiffusionDataset).  Dataset construction runs
-        # the full-split DFT (an on-device matmul through the TPU relay);
-        # memoizing it keeps per-epoch dataloader calls host-only.
-        self._ds_cache: dict[str, tuple[tuple[int, ...], DiffusionDataset]] = {}
+        # Split -> (keyed arrays, DiffusionDataset).  Dataset construction
+        # runs the full-split DFT (an on-device matmul through the TPU
+        # relay); memoizing it keeps per-epoch dataloader calls host-only.
+        self._ds_cache: dict[str, tuple[tuple, DiffusionDataset]] = {}
 
     def _cached_dataset(self, split: str, builder, *arrays) -> DiffusionDataset:
-        key = tuple(id(a) for a in arrays)
+        # Identity-compare against the STORED arrays: keeping the references
+        # in the cache pins them alive, so a freed array's id can never be
+        # reused by a new allocation and serve a stale dataset.  (In-place
+        # mutation of a keyed array still requires re-running setup().)
         hit = self._ds_cache.get(split)
-        if hit is None or hit[0] != key:
-            self._ds_cache[split] = (key, builder())
+        if hit is None or len(hit[0]) != len(arrays) or any(
+            a is not b for a, b in zip(hit[0], arrays)
+        ):
+            self._ds_cache[split] = (tuple(arrays), builder())
         return self._ds_cache[split][1]
 
     def prepare_data(self) -> None:

@@ -61,6 +61,23 @@ def get_training_params(datamodule: Datamodule, max_epochs: int, accumulate_grad
     return params
 
 
+def _group_same_shape(batches: list, cap: int):
+    """Yield ``(start, run)`` spans of consecutive same-shape batches,
+    ``run <= cap`` — the chunked-dispatch grouping shared by the train
+    loop and the val plan (a trailing partial batch ends a span)."""
+    i = 0
+    while i < len(batches):
+        run = 1
+        while (
+            run < cap
+            and i + run < len(batches)
+            and batches[i + run].shape == batches[i].shape
+        ):
+            run += 1
+        yield i, run
+        i += run
+
+
 class Trainer:
     def __init__(
         self,
@@ -319,15 +336,7 @@ class Trainer:
         val_plan: list[tuple] = []
         if self.max_epochs > start_epoch:
             val_batches = list(val_loader)
-            i = 0
-            while i < len(val_batches):
-                run = 1
-                while (
-                    run < spc
-                    and i + run < len(val_batches)
-                    and val_batches[i + run].shape == val_batches[i].shape
-                ):
-                    run += 1
+            for i, run in _group_same_shape(val_batches, spc):
                 if run > 1:
                     val_plan.append(
                         ("chunk", put_chunk(val_batches[i : i + run]),
@@ -336,7 +345,6 @@ class Trainer:
                 else:
                     arr, true_n = put_batch(val_batches[i])
                     val_plan.append(("single", arr, true_n))
-                i += run
 
         def log_step(loss_val: Array, epoch: int) -> None:
             # LR at the current *optimizer* step (LearningRateMonitor
@@ -353,17 +361,7 @@ class Trainer:
             batches = list(train_loader)
             epoch_losses: list[Array] = []
             t0 = time.time()
-            i = 0
-            while i < len(batches):
-                # Greedily group same-shape consecutive batches (all but a
-                # trailing partial batch) into one scanned dispatch.
-                run = 1
-                while (
-                    run < spc
-                    and i + run < len(batches)
-                    and batches[i + run].shape == batches[i].shape
-                ):
-                    run += 1
+            for i, run in _group_same_shape(batches, spc):
                 if run > 1:
                     step_keys = []
                     for _ in range(run):
@@ -384,7 +382,6 @@ class Trainer:
                     epoch_losses.append(jnp.reshape(loss, (1,)))
                     global_step += 1
                     log_step(loss, epoch)
-                i += run
 
             # Host-side mean over the fetched per-step losses: avoids two
             # extra accelerator dispatches (concatenate + mean) per epoch.
@@ -536,8 +533,27 @@ class Trainer:
             return batch
 
         @_partial(jax.jit, donate_argnums=(0,))
-        def run_epochs(carry, X, XV, epoch_ids):
-            def epoch_body(c, epoch_idx):
+        def run_epochs(carry, X, XV, epoch_ids, active):
+            # ``epoch_ids``/``active`` always have length epochs_per_call —
+            # a shorter final call pads and masks instead of changing the
+            # scan length, which would recompile this whole multi-epoch
+            # program (minutes on the remote compiler) for one tail call.
+            def epoch_body(c, inp):
+                epoch_idx, is_active = inp
+                return jax.lax.cond(
+                    is_active,
+                    lambda cc: _run_one_epoch(cc, epoch_idx),
+                    lambda cc: (
+                        cc,
+                        (
+                            jnp.zeros((steps_pe,), jnp.float32),
+                            jnp.asarray(jnp.inf, jnp.float32),
+                        ),
+                    ),
+                    c,
+                )
+
+            def _run_one_epoch(c, epoch_idx):
                 state, key, best_params, best_val, best_epoch = c
                 key, pkey = jax.random.split(key)
                 perm = jax.random.permutation(pkey, n_train).astype(jnp.int32)
@@ -582,7 +598,7 @@ class Trainer:
                 )
 
             carry, (step_losses, val_losses) = jax.lax.scan(
-                epoch_body, carry, epoch_ids
+                epoch_body, carry, (epoch_ids, active)
             )
             return carry, step_losses, val_losses
 
@@ -599,10 +615,13 @@ class Trainer:
         ep = start_epoch
         while ep < self.max_epochs:
             n_call = min(self.epochs_per_call, self.max_epochs - ep)
-            epoch_ids = jnp.arange(ep, ep + n_call, dtype=jnp.int32)
+            epoch_ids = jnp.arange(
+                ep, ep + self.epochs_per_call, dtype=jnp.int32
+            )
+            active = jnp.arange(self.epochs_per_call) < n_call
             t0 = time.time()
             carry, step_losses, val_losses = run_epochs(
-                carry, X_dev, XV_dev, epoch_ids
+                carry, X_dev, XV_dev, epoch_ids, active
             )
             state = carry[0]
             step_np, val_np, best_val_np, best_epoch_np = jax.device_get(

@@ -53,19 +53,26 @@ def maybe_log_model(ckpt_path: Any, name: str = "model") -> None:
     (conf/trainer/default.yaml:6-8).  No-op without an active run."""
     try:
         import wandb
-    except ImportError:
-        return
-    if wandb.run is None:
-        return
-    import os as _os
 
-    artifact = wandb.Artifact(f"{name}-{wandb.run.id}", type="model")
-    path = str(ckpt_path)
-    if _os.path.isdir(path):
-        artifact.add_dir(path)
-    else:
-        artifact.add_file(path)
-    wandb.run.log_artifact(artifact)
+        if wandb.run is None:
+            return
+        import os as _os
+
+        artifact = wandb.Artifact(f"{name}-{wandb.run.id}", type="model")
+        path = str(ckpt_path)
+        if _os.path.isdir(path):
+            artifact.add_dir(path)
+        else:
+            artifact.add_file(path)
+        wandb.run.log_artifact(artifact)
+    except Exception as exc:  # best-effort, like maybe_log_wandb above:
+        # an upload failure (network, quota, fs race) must not kill the
+        # training run that just produced a new best checkpoint.
+        if isinstance(exc, KeyboardInterrupt):
+            raise
+        logging.getLogger(__name__).warning(
+            "wandb model-artifact upload failed (continuing): %s", exc
+        )
 
 
 def run_id_or_timestamp(run_id: Optional[str]) -> str:
