@@ -53,7 +53,9 @@ def maybe_log_model(ckpt_path: Any, name: str = "model") -> None:
     (conf/trainer/default.yaml:6-8).  No-op without an active run."""
     try:
         import wandb
-
+    except ImportError:  # optional dependency: silently degrade
+        return
+    try:
         if wandb.run is None:
             return
         import os as _os
