@@ -225,7 +225,17 @@ class ECGDatamodule(Datamodule):
 
 class SyntheticDatamodule(Datamodule):
     """sin(t·f + φ), f~Beta(2,2), φ~N(0,1) — the Fourier-flows DGP
-    (reference :244-304).  Generates locally; ideal for CI."""
+    (reference :244-304).  Generates locally; ideal for CI.
+
+    ``n_channels`` extends the DGP beyond the reference (which is strictly
+    univariate): each channel draws its own frequency/phase, so the series
+    are multivariate with independent spectral content.  At the default
+    ``n_channels=1`` the generated values, CSV layout and loaded arrays are
+    bit-identical to before — the multivariate path stores ``.npy`` instead
+    (a (N, T, C) array does not fit the reference's 2-D CSV layout).  Used
+    by ``scripts/bench_shape_scaling.py`` to reproduce the five reference
+    dataset *shapes* (paper Table 1) without Kaggle egress.
+    """
 
     def __init__(
         self,
@@ -236,7 +246,9 @@ class SyntheticDatamodule(Datamodule):
         standardize: bool = False,
         max_len: int = 100,
         num_samples: int = 1000,
+        n_channels: int = 1,
     ) -> None:
+        self.n_channels = n_channels
         super().__init__(
             data_dir=data_dir,
             random_seed=random_seed,
@@ -248,30 +260,42 @@ class SyntheticDatamodule(Datamodule):
         self.num_samples = num_samples
 
     def setup(self, stage: str = "fit") -> None:
-        df_train = pd.read_csv(self.data_dir / "train.csv", header=None)
-        df_test = pd.read_csv(self.data_dir / "test.csv", header=None)
-        self.X_train = df_train.values.astype(np.float32)[:, :, None]
-        self.X_test = df_test.values.astype(np.float32)[:, :, None]
+        if self.n_channels == 1:
+            df_train = pd.read_csv(self.data_dir / "train.csv", header=None)
+            df_test = pd.read_csv(self.data_dir / "test.csv", header=None)
+            self.X_train = df_train.values.astype(np.float32)[:, :, None]
+            self.X_test = df_test.values.astype(np.float32)[:, :, None]
+        else:
+            self.X_train = np.load(self.data_dir / "train.npy")
+            self.X_test = np.load(self.data_dir / "test.npy")
         self.y_train = None
         self.y_test = None
 
     def download_data(self) -> None:
         rng = np.random.default_rng(self.random_seed)
         n_generated = 2 * self.num_samples
-        phase = rng.normal(size=(n_generated, 1))
-        frequency = rng.beta(a=2, b=2, size=(n_generated, 1))
-        timesteps = np.arange(self.max_len)
-        x = np.sin(timesteps * frequency + phase)
-        pd.DataFrame(x[: self.num_samples]).to_csv(
-            self.data_dir / "train.csv", index=False, header=False
-        )
-        pd.DataFrame(x[self.num_samples :]).to_csv(
-            self.data_dir / "test.csv", index=False, header=False
-        )
+        if self.n_channels == 1:
+            phase = rng.normal(size=(n_generated, 1))
+            frequency = rng.beta(a=2, b=2, size=(n_generated, 1))
+            timesteps = np.arange(self.max_len)
+            x = np.sin(timesteps * frequency + phase)
+            pd.DataFrame(x[: self.num_samples]).to_csv(
+                self.data_dir / "train.csv", index=False, header=False
+            )
+            pd.DataFrame(x[self.num_samples :]).to_csv(
+                self.data_dir / "test.csv", index=False, header=False
+            )
+        else:
+            phase = rng.normal(size=(n_generated, 1, self.n_channels))
+            frequency = rng.beta(a=2, b=2, size=(n_generated, 1, self.n_channels))
+            timesteps = np.arange(self.max_len)[None, :, None]
+            x = np.sin(timesteps * frequency + phase).astype(np.float32)
+            np.save(self.data_dir / "train.npy", x[: self.num_samples])
+            np.save(self.data_dir / "test.npy", x[self.num_samples :])
 
     @property
     def dataset_name(self) -> str:
-        return "synthetic"
+        return "synthetic" if self.n_channels == 1 else f"synthetic_c{self.n_channels}"
 
 
 class MIMICIIIDatamodule(Datamodule):

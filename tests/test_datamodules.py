@@ -93,6 +93,34 @@ def test_synthetic_datamodule_end_to_end(tmp_path):
     assert np.abs(dm.X_train).max() <= 1.0 + 1e-6  # sinusoids
 
 
+def test_synthetic_datamodule_multichannel(tmp_path):
+    """n_channels>1 extension: (N, T, C) sinusoids with per-channel
+    frequency/phase, stored as .npy (used by scripts/bench_shape_scaling.py
+    to reproduce the paper-Table-1 dataset shapes without Kaggle egress)."""
+    dm = SyntheticDatamodule(
+        data_dir=tmp_path, max_len=24, num_samples=50, batch_size=16,
+        n_channels=5,
+    )
+    dm.prepare_data()
+    dm.setup()
+    assert dm.dataset_name == "synthetic_c5"
+    assert dm.X_train.shape == (50, 24, 5)
+    assert dm.X_test.shape == (50, 24, 5)
+    assert dm.X_train.dtype == np.float32
+    assert np.abs(dm.X_train).max() <= 1.0 + 1e-6
+    # Channels carry independent spectral content (not copies).
+    assert np.abs(dm.X_train[..., 0] - dm.X_train[..., 1]).max() > 0.1
+    assert dm.dataset_parameters["n_channels"] == 5
+    # Regeneration from the same seed is deterministic.
+    dm2 = SyntheticDatamodule(
+        data_dir=tmp_path, max_len=24, num_samples=50, batch_size=16,
+        n_channels=5,
+    )
+    dm2.prepare_data()
+    dm2.setup()
+    np.testing.assert_array_equal(dm.X_train, dm2.X_train)
+
+
 def test_loader_reshuffles_each_epoch():
     """One loader iterated twice yields different batch orders (torch
     DataLoader(shuffle=True) semantics) over the same sample multiset."""
