@@ -88,8 +88,11 @@ def run_shape(name, max_len, n_channels, args, out_path, payload):
 
     # Pallas blockdiag only runs on the TPU backend; CPU smokes use einsum.
     impl = "blockdiag" if jax.default_backend() == "tpu" else "einsum"
+    size = (
+        dict(d_model=16, num_layers=2, n_head=4) if args.smoke else {}
+    )
     cfg = ScoreModelConfig(
-        n_channels=n_channels, max_len=max_len, attention_impl=impl
+        n_channels=n_channels, max_len=max_len, attention_impl=impl, **size
     )
     scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(max_len)
     model = ScoreModel(
@@ -98,7 +101,8 @@ def run_shape(name, max_len, n_channels, args, out_path, payload):
         scheduler=scheduler,
     )
     dm = SyntheticDatamodule(
-        data_dir=tempfile.mkdtemp(), max_len=max_len, num_samples=2000,
+        data_dir=tempfile.mkdtemp(), max_len=max_len,
+        num_samples=256 if args.smoke else 2000,
         batch_size=64, fourier_transform=True, standardize=True,
         n_channels=n_channels,
     )
@@ -209,18 +213,23 @@ def main():
     parser.add_argument("--refresh", action="store_true")
     parser.add_argument(
         "--smoke", action="store_true",
-        help="tiny protocol (1 epoch, T=20, 2x8 samples) — API check only",
+        help="tiny model (d16/L2) + protocol (1 epoch, T=20, 2x8 samples) "
+             "— API check only; writes to a temp file unless --out is given",
     )
+    parser.add_argument("--out", type=str, default="")
     args = parser.parse_args()
     if args.smoke:
         args.epochs, args.steps, args.batch, args.bpc = 1, 20, 8, 2
 
-    out_path = (
-        Path(tempfile.mkdtemp()) / "shape_scaling_smoke.json"
-        if args.smoke
-        else Path(__file__).resolve().parent.parent
-        / "docs/benchmarks/shape_scaling.json"
-    )
+    if args.out:
+        out_path = Path(args.out)
+    elif args.smoke:
+        out_path = Path(tempfile.mkdtemp()) / "shape_scaling_smoke.json"
+    else:
+        out_path = (
+            Path(__file__).resolve().parent.parent
+            / "docs/benchmarks/shape_scaling.json"
+        )
     payload = (
         json.loads(out_path.read_text())
         if out_path.exists() and not args.refresh

@@ -183,3 +183,37 @@ def test_validate_real_data_harness(tmp_path):
     assert payload["reference_table2"]["baseline_sw"] == [0.015, 0.0]
     assert payload["summary"]["fdtpu_cached_sw"][0] is not None
     assert "warning" in payload  # fixture data flagged as meaningless
+
+
+def test_shape_scaling_harness_smoke(tmp_path):
+    """Shape-scaling benchmark harness end-to-end at one non-flagship shape
+    (tiny model, T=20): train → uncached floor → τ₀ ladder with the
+    quality+guard acceptance rule → speedup entry in the JSON artifact."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    out_json = tmp_path / "shape_scaling.json"
+    env = dict(os.environ)
+    env.update({"FDTPU_PLATFORM": "cpu", "PYTHONPATH": str(REPO)})
+    result = subprocess.run(
+        [
+            _sys.executable, str(REPO / "scripts" / "bench_shape_scaling.py"),
+            "--smoke", "--shapes", "nasa_discharge", "--out", str(out_json),
+        ],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert result.returncode == 0, result.stderr[-3000:]
+    payload = json.loads(out_json.read_text())
+    entry = payload["shapes"]["nasa_discharge"]
+    assert entry["max_len"] == 134 and entry["n_channels"] == 5
+    assert entry["tau_ladder"], "no ladder arms recorded"
+    # Every recorded arm carries the acceptance evidence.
+    for arm in entry["tau_ladder"]:
+        assert {"sw_vs_uncached", "guard_err_max", "within_floor",
+                "guard_silent"} <= set(arm)
+    if entry.get("speedup") is not None:
+        # The chosen arm passed both the floor and the guard.
+        chosen = entry["tau_ladder"][-1]
+        assert chosen["within_floor"] and chosen["guard_silent"]
+        assert entry["cached_samples_per_s_chip"] > 0
