@@ -179,3 +179,53 @@ def create_benchmark_figures(
     plt.close(fig)
     written.append(figures_dir / f"summary_table_{model_id}.pdf")
     return written
+
+
+def shape_scaling_figure(
+    payload: dict, output_dir: Path | str, stem: str = "shape_scaling"
+) -> Optional[Path]:
+    """Speedup-per-dataset-shape bars from the shape_scaling.json artifact
+    (scripts/bench_shape_scaling.py) — the TPU analog of the reference
+    paper's per-dataset speedup claim (§4.1: 2.1-4.3x, avg 3.2x across the
+    same five shapes, measured on CPU at batch 1).
+
+    Returns the written PDF path, or None if no shape has a speedup yet.
+    """
+    shapes = {
+        name: entry
+        for name, entry in payload.get("shapes", {}).items()
+        if entry.get("speedup") is not None
+    }
+    if not shapes:
+        return None
+    plt = _plt()
+    figures_dir = Path(output_dir) / "figures"
+    figures_dir.mkdir(parents=True, exist_ok=True)
+    names = sorted(shapes, key=lambda n: shapes[n]["speedup"])
+    labels = [
+        f"{n}\n({shapes[n]['max_len']}x{shapes[n]['n_channels']})" for n in names
+    ]
+    speedups = [shapes[n]["speedup"] for n in names]
+    skipped = [shapes[n].get("steps_skipped_ratio") for n in names]
+    fig, ax = plt.subplots(figsize=(8, 4.5))
+    bars = ax.bar(labels, speedups, color="tab:green", alpha=0.85)
+    for bar, sp, sk in zip(bars, speedups, skipped):
+        note = f"{sp:.1f}x" + (f"\n{100 * sk:.0f}% skip" if sk is not None else "")
+        ax.annotate(
+            note, (bar.get_x() + bar.get_width() / 2, bar.get_height()),
+            ha="center", va="bottom", fontsize=8,
+        )
+    ax.axhline(
+        3.2, color="tab:gray", ls="--", lw=1,
+        label="reference paper avg (3.2x, CPU)",
+    )
+    ax.axhline(1.0, color="black", ls=":", lw=1)
+    ax.set_ylabel("E2-CRF speedup over uncached (x)")
+    ax.set_ylim(0, max(speedups) * 1.2)
+    ax.set_title("E2-CRF speedup across the five reference dataset shapes")
+    ax.legend()
+    ax.grid(axis="y", alpha=0.3)
+    fig.tight_layout()
+    _save(fig, figures_dir, stem)
+    plt.close(fig)
+    return figures_dir / f"{stem}.pdf"

@@ -256,6 +256,14 @@ def main():
             payload["shapes"].setdefault(name, {})["error"] = str(exc)[:300]
             out_path.write_text(json.dumps(payload, indent=2))
             print(f"[{name}] FAILED: {exc}", file=sys.stderr)
+    try:
+        from fdtpu.viz.benchmark_figures import shape_scaling_figure
+
+        fig = shape_scaling_figure(payload, out_path.parent)
+        if fig is not None:
+            print(f"figure: {fig}", file=sys.stderr)
+    except Exception as exc:  # figure emission must never fail the bench
+        print(f"figure emission failed: {exc}", file=sys.stderr)
     done = {
         n: e.get("speedup") for n, e in payload["shapes"].items()
     }

@@ -200,3 +200,22 @@ def test_benchmark_figure_families(tmp_path):
     assert "summary_table_testmodel.pdf" in names
     for p in written:
         assert p.exists() and p.stat().st_size > 0
+
+
+def test_shape_scaling_figure(tmp_path):
+    from fdtpu.viz.benchmark_figures import shape_scaling_figure
+
+    payload = {
+        "shapes": {
+            "ecg": {"max_len": 187, "n_channels": 1, "speedup": 18.5,
+                    "steps_skipped_ratio": 0.96},
+            "droughts": {"max_len": 365, "n_channels": 13, "speedup": 7.2,
+                         "steps_skipped_ratio": 0.95},
+            "failed": {"max_len": 251, "n_channels": 4, "speedup": None},
+        }
+    }
+    path = shape_scaling_figure(payload, tmp_path)
+    assert path is not None and path.exists() and path.stat().st_size > 0
+    assert (path.parent / "shape_scaling.png").exists()
+    # No measured shapes -> no figure, no crash.
+    assert shape_scaling_figure({"shapes": {}}, tmp_path) is None
