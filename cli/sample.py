@@ -71,6 +71,49 @@ class SamplingRunner:
         use_cache = bool(sampler_cfg.pop("use_cache", cfg.get("use_cache", False)))
         cache_kwargs = sampler_cfg.pop("cache_kwargs", None) or cfg.get("cache_kwargs") or {}
         use_fresca = bool(sampler_cfg.pop("use_fresca", cfg.get("use_fresca", False)))
+        # Opt-in quality-constrained τ₀ calibration (``+calibrate_tau=true``):
+        # pilot-sample the restored model and pick the largest skip budget
+        # whose quality stays within the uncached noise floor with the guard
+        # silent (fdtpu/sampling/calibrate.py).  Overrides any tau_0 in
+        # cache_kwargs; falls back to uncached sampling when no ladder arm
+        # is safe.
+        self.calibration = None
+        if use_cache and bool(
+            sampler_cfg.pop("calibrate_tau", cfg.get("calibrate_tau", False))
+        ):
+            from fdtpu.sampling import calibrate_tau_0
+
+            cal_kwargs = dict(cfg.get("calibrate_kwargs") or {})
+            pilot_n = int(
+                cal_kwargs.pop("num_samples", min(int(cfg["num_samples"]), 128))
+            )
+            batch = min(
+                int(sampler_cfg.get("sample_batch_size", pilot_n)), pilot_n
+            )
+            self.calibration = calibrate_tau_0(
+                self.model,
+                num_samples=pilot_n,
+                num_diffusion_steps=int(cfg["num_diffusion_steps"]),
+                sample_batch_size=batch,
+                key=jax.random.PRNGKey(int(cfg["random_seed"]) + 1),
+                cache_kwargs=cache_kwargs,
+                **cal_kwargs,
+            )
+            if self.calibration.tau_0 is None:
+                logging.warning(
+                    "tau_0 calibration: no ladder arm stayed within the "
+                    "noise floor with a silent guard — sampling UNCACHED. "
+                    "Arms: %s", self.calibration.arms,
+                )
+                use_cache = False
+            else:
+                cache_kwargs = self.calibration.cache_kwargs
+                logging.info(
+                    "tau_0 calibration: chose tau_0=%s (floor %.4g): %s",
+                    self.calibration.tau_0,
+                    self.calibration.sw_noise_floor,
+                    self.calibration.accepted,
+                )
         self.sampler = DiffusionSampler(
             self.model,
             use_cache=use_cache,
@@ -117,6 +160,20 @@ class SamplingRunner:
             with open(self.model_dir / "cache_stats.yaml", "w") as f:
                 yaml.safe_dump(stats, f)
             logging.info("Cache stats: %s", stats)
+        if self.calibration is not None:
+            import dataclasses
+
+            with open(self.model_dir / "calibration.yaml", "w") as f:
+                yaml.safe_dump(
+                    {
+                        "tau_0": self.calibration.tau_0,
+                        "sw_noise_floor": float(self.calibration.sw_noise_floor),
+                        "arms": [
+                            dataclasses.asdict(a) for a in self.calibration.arms
+                        ],
+                    },
+                    f,
+                )
         logging.info("Saved results.yaml and samples.npy to %s", self.model_dir)
 
 

@@ -153,6 +153,37 @@ def test_sample_cli_reference_style_overrides(trained_run):
     assert stats["current_step"] == 3
 
 
+def test_sample_cli_calibrated_tau(trained_run):
+    """``+calibrate_tau=true``: the CLI pilot-calibrates τ₀ before cached
+    sampling and persists the auditable ladder (calibration.yaml)."""
+    out = run_cli(
+        "sample.py",
+        f"model_path={trained_run.parent}",
+        "model_id=latest",
+        "num_samples=8",
+        "num_diffusion_steps=6",
+        "sampler.sample_batch_size=8",
+        "metrics.metrics.0.num_directions=5",
+        "use_cache=true",
+        "+calibrate_tau=true",
+        "+calibrate_kwargs.ladder=[1.0,0.5]",
+        "+calibrate_kwargs.num_directions=16",
+    )
+    assert "calibration" in out or "calibrate" in out
+    with open(trained_run / "calibration.yaml") as f:
+        cal = yaml.safe_load(f)
+    assert cal["sw_noise_floor"] > 0
+    assert 1 <= len(cal["arms"]) <= 2
+    for arm in cal["arms"]:
+        assert set(arm) >= {"tau_0", "sw_vs_uncached", "within_floor",
+                            "guard_silent"}
+    if cal["tau_0"] is not None:
+        assert cal["tau_0"] in (1.0, 0.5)
+        # The cached run actually used the calibrated budget.
+        with open(trained_run / "cache_stats.yaml") as f:
+            assert yaml.safe_load(f)["current_step"] == 6
+
+
 def test_validate_real_data_harness(tmp_path):
     """Table-2 reproduction harness end-to-end on the ECG raw-file fixture
     (VERDICT round-2 ask #4): prepare → train → sample both arms → metrics
