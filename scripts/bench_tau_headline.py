@@ -27,8 +27,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import os
+
 import jax
 
+if os.environ.get("FDTPU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["FDTPU_PLATFORM"])
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/fdtpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -51,7 +55,20 @@ def main() -> None:
     parser.add_argument(
         "--taus", type=float, nargs="+", default=[1.0, 1.5, 2.0, 3.0]
     )
+    parser.add_argument(
+        "--eps-order", type=int, default=None,
+        help="override CACHE_KWARGS eps_order (e.g. 2 for quadratic ε̂ "
+             "extrapolation); measures whether better prediction moves the "
+             "quality floor-crossing to a larger budget",
+    )
+    parser.add_argument(
+        "--out", type=str, default="",
+        help="artifact path (default docs/benchmarks/tau_headline.json); "
+             "use a separate file when sweeping a non-default eps_order so "
+             "the order-1 frontier artifact is preserved",
+    )
     args = parser.parse_args()
+    out_path = Path(args.out) if args.out else OUT
 
     from bench import CACHE_KWARGS, build_model, measure
 
@@ -61,13 +78,16 @@ def main() -> None:
     n = args.batch * args.bpc
     model = build_model(max_len=187, trained=True, epochs=args.epochs)
 
-    payload = json.loads(OUT.read_text()) if OUT.exists() else {}
+    base_kwargs = dict(CACHE_KWARGS)
+    if args.eps_order is not None:
+        base_kwargs["eps_order"] = args.eps_order
+    payload = json.loads(out_path.read_text()) if out_path.exists() else {}
     config = {
         "steps": args.steps, "batch": args.batch, "bpc": args.bpc,
         "epochs": args.epochs,
         # tau_0 is the swept knob — excluded so adopting a new headline
         # default in bench.py does not invalidate the frontier artifact.
-        "cache_base": {k: v for k, v in CACHE_KWARGS.items() if k != "tau_0"},
+        "cache_base": {k: v for k, v in base_kwargs.items() if k != "tau_0"},
     }
     if payload.get("config") != config:
         # Protocol changed: stale arms measured under a different protocol
@@ -88,11 +108,11 @@ def main() -> None:
     results["uncached"] = {"time_s": t_un, "samples_per_s_chip": sps_un,
                            "sw_noise_floor": floor}
     print(f"uncached {sps_un:.1f} samples/s, floor {floor:.3f}", file=sys.stderr)
-    OUT.write_text(json.dumps(payload, indent=2))
+    out_path.write_text(json.dumps(payload, indent=2))
 
     for tau in args.taus:
         name = f"tau{tau:g}"
-        kw = dict(CACHE_KWARGS, tau_0=tau)
+        kw = dict(base_kwargs, tau_0=tau)
         sampler = DiffusionSampler(
             model, sample_batch_size=args.batch, use_cache=True,
             cache_kwargs=kw, batches_per_call=args.bpc,
@@ -122,7 +142,7 @@ def main() -> None:
             f"SW {dist:.3f} (floor {floor:.3f})",
             file=sys.stderr,
         )
-        OUT.write_text(json.dumps(payload, indent=2))
+        out_path.write_text(json.dumps(payload, indent=2))
 
     assert np.isfinite(s_base).all()
     print(json.dumps({k: v.get("speedup") for k, v in results.items()
