@@ -157,6 +157,12 @@ def test_eps_extrapolation_improves_fidelity(trained):
     dev1, skip1 = deviation(1)
     assert skip0 > 0.2 and skip1 > 0.2, (skip0, skip1)
     assert dev1 <= dev0 * 1.05, (dev0, dev1, skip0, skip1)
+    # Quadratic (order 2, three-point Newton) must also beat frozen reuse
+    # at this short-span budget; its known weakness is curvature blow-up
+    # over LONG spans (e2crf.py eps_order docstring), not this regime.
+    dev2, skip2 = deviation(2)
+    assert skip2 > 0.2, skip2
+    assert np.isfinite(dev2) and dev2 <= dev0 * 1.05, (dev0, dev2, skip2)
 
 
 def test_ve_scheduler_trains_and_samples(tmp_path):
