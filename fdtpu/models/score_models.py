@@ -98,9 +98,11 @@ class ScoreModelConfig:
     backbone: str = "transformer"  # "transformer" | "mlp" | "lstm"
     d_mlp: int = 1024
     gfp_scale: float = 30.0
-    # Attention implementation for the uncached forward: "einsum" (XLA) or
+    # Attention implementation for the uncached forward: "einsum" (XLA),
     # "blockdiag" (Pallas fused kernel packing all heads into two large MXU
-    # matmuls — faster for tiny heads on TPU; cached paths always use einsum).
+    # matmuls — faster for tiny heads on TPU; cached paths always use einsum),
+    # or "auto" (blockdiag on accelerators when head_dim < 16, the measured
+    # crossover — see resolve_attention_impl).
     attention_impl: str = "einsum"
     # Mixed precision: run the backbone in this dtype (params stay float32;
     # the score output is always float32).  "bfloat16" roughly halves the
@@ -193,14 +195,23 @@ def param_count(variables: dict[str, Params]) -> int:
 
 
 # ----------------------------------------------------------------- backbones
-def resolve_attention_impl(impl: str) -> str:
+def resolve_attention_impl(impl: str, head_dim: int = 0) -> str:
     """Resolve ``"auto"`` at trace time: the fused Pallas block-diagonal
-    kernel on accelerators, XLA einsum on CPU (no Pallas backend there).
-    The choice is a hardware property, not part of the trained model — a
-    checkpoint trained with ``auto`` picks the right kernel wherever it is
-    later loaded."""
+    kernel on accelerators *when heads are tiny*, XLA einsum otherwise
+    (and always on CPU — no Pallas backend there).  The choice is a
+    hardware/shape property, not part of the trained model — a checkpoint
+    trained with ``auto`` picks the right kernel wherever it is later
+    loaded.
+
+    The head_dim<16 crossover is measured (throughput.json
+    ``model_scaling``): the kernel packs per-head blocks into two large
+    MXU matmuls, which wins 1.3-1.4x at head_dim 6-8 but loses ~13-21% to
+    plain einsum at head_dim 16-32, where XLA already tiles the MXU well
+    and the block-diagonal packing only adds zero-padding FLOPs."""
     if impl == "auto":
-        return "einsum" if jax.default_backend() == "cpu" else "blockdiag"
+        if jax.default_backend() == "cpu" or head_dim >= 16:
+            return "einsum"
+        return "blockdiag"
     return impl
 
 
@@ -222,7 +233,7 @@ def _transformer_backbone(
     (reference stores h[0].detach() per layer, score_models.py:183-190).
     """
     num_layers = cfg.num_layers
-    attention_impl = resolve_attention_impl(attention_impl)
+    attention_impl = resolve_attention_impl(attention_impl, cfg.head_dim)
     if dropout_key is not None:
         layer_keys = jax.random.split(dropout_key, num_layers)
     else:

@@ -317,6 +317,76 @@ def bench_training(args) -> None:
     print(json.dumps(payload["results"]))
 
 
+def bench_model_scaling(args) -> None:
+    """Model-size MFU scaling: is the flagship's single-digit MFU a
+    model-size artifact or a framework ceiling?
+
+    The d128 lane-alignment probe showed d72 is latency/bandwidth-bound
+    (2.4× the FLOPs for only 1.35× the time); this sweep extends the
+    question to d256/d512 — where the MXU should finally saturate — and
+    re-asks the einsum-vs-Pallas and fp32-vs-bf16 questions at head dims
+    the blockdiag kernel was never tuned for (it packs per-head blocks;
+    its win was measured at head_dim 6).  Architecture follows the
+    reference's fixed dim_feedforward=2048 (torch encoder-layer default,
+    reference score_models.py) so d_model/n_head is the only knob.
+
+    Writes a ``model_scaling`` section into throughput.json (incremental,
+    per-arm error capture — the remote compiler 500s on some large Pallas
+    kernels and big arms can OOM/fault)."""
+    out = Path(__file__).resolve().parent.parent / "docs/benchmarks/throughput.json"
+    payload = json.loads(out.read_text()) if out.exists() else {"results": {}}
+    scaling = payload.setdefault("model_scaling", {})
+    scaling["config"] = {
+        "batch": args.batch, "steps": args.steps, "max_len": args.max_len,
+        "num_layers": 10, "dim_feedforward": 2048,
+        "mfu_convention": "vs bf16 peak for both dtypes",
+    }
+    scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(
+        args.max_len
+    )
+    sizes = [(72, 12), (128, 16), (256, 16), (512, 16)]
+    variants = [
+        ("einsum", "float32", "einsum_fp32"),
+        ("einsum", "bfloat16", "einsum_bf16"),
+        ("blockdiag", "bfloat16", "blockdiag_bf16"),
+    ]
+    for d, h in sizes:
+        for impl, dtype, short in variants:
+            name = f"d{d}H{h}_{short}"
+            if name in scaling and not args.refresh:
+                continue
+            cfg = ScoreModelConfig(
+                n_channels=1, max_len=args.max_len, d_model=d, n_head=h,
+                attention_impl=impl, compute_dtype=dtype,
+            )
+            flops = forward_flops(cfg.d_model, cfg.n_head, cfg.num_layers,
+                                  cfg.dim_feedforward, cfg.max_len,
+                                  cfg.n_channels)
+            model = ScoreModel(
+                config=cfg,
+                variables=init_score_model(jax.random.PRNGKey(0), cfg),
+                scheduler=scheduler,
+            )
+            sampler = DiffusionSampler(model, sample_batch_size=args.batch)
+            try:
+                t, sps = measure(sampler, args.batch, args.steps)
+            except Exception as exc:  # compiler 500 / OOM / device fault
+                scaling[name] = {"error": str(exc)[:200]}
+                print(f"{name:<26} FAILED: {str(exc)[:120]}", file=sys.stderr)
+                out.write_text(json.dumps(payload, indent=2))
+                continue
+            scaling[name] = {
+                "time_s": t, "samples_per_s_chip": sps,
+                "flops_per_forward": flops,
+                "mfu": sampling_mfu(sps, args.steps, flops),
+                "head_dim": cfg.head_dim,
+            }
+            print(f"{name:<26} {t:7.2f}s  {sps:8.1f} samples/s/chip  "
+                  f"mfu {100 * scaling[name]['mfu']:.1f}%", file=sys.stderr)
+            out.write_text(json.dumps(payload, indent=2))
+    print(json.dumps(scaling))
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=500)
@@ -336,7 +406,13 @@ def main() -> None:
     parser.add_argument("--flagship", action="store_true",
                         help="store --model-id results under the unsuffixed "
                              "flagship keys (bf16_quality/cached_*)")
+    parser.add_argument("--model-scaling", action="store_true",
+                        help="model-size MFU sweep (d_model 72-512, "
+                             "einsum/blockdiag x fp32/bf16)")
     args = parser.parse_args()
+    if args.model_scaling:
+        bench_model_scaling(args)
+        return
     if args.frontier:
         bench_frontier(args)
         return

@@ -221,3 +221,19 @@ def test_blockdiag_bwd_long_sequence_falls_back():
     _, vjp = jax.vjp(blockdiag_mha_reference, q, k, v)
     for got, want in zip(out, vjp(g)):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_resolve_attention_impl_auto_is_shape_aware(monkeypatch):
+    """"auto" picks the Pallas kernel only on accelerators with tiny heads
+    (measured crossover at head_dim 16, throughput.json model_scaling)."""
+    from fdtpu.models import score_models as sm
+
+    assert sm.resolve_attention_impl("einsum", 6) == "einsum"
+    assert sm.resolve_attention_impl("blockdiag", 32) == "blockdiag"
+    # CPU backend (the test environment): always einsum.
+    assert sm.resolve_attention_impl("auto", 6) == "einsum"
+    monkeypatch.setattr(sm.jax, "default_backend", lambda: "tpu")
+    assert sm.resolve_attention_impl("auto", 6) == "blockdiag"
+    assert sm.resolve_attention_impl("auto", 8) == "blockdiag"
+    assert sm.resolve_attention_impl("auto", 16) == "einsum"
+    assert sm.resolve_attention_impl("auto", 32) == "einsum"
