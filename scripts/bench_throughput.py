@@ -552,13 +552,15 @@ def main() -> None:
         "batch": args.batch, "steps": args.steps, "max_len": args.max_len,
         "model": "flagship d72/L10/H12 (+ d128/H16 reference)",
     }
-    if out.exists():
+    # Merge into the existing document: the frontier/model_scaling modes own
+    # their own top-level sections and must survive a plain variant run.
+    payload = json.loads(out.read_text()) if out.exists() else {}
+    if args.quality_only and payload.get("config"):
         # Partial (quality-only) runs keep the full-run config that
         # describes the variant timings stored alongside.
-        existing_cfg = json.loads(out.read_text()).get("config")
-        if args.quality_only and existing_cfg:
-            config = existing_cfg
-    payload = {"config": config, "results": results}
+        config = payload["config"]
+    payload["config"] = config
+    payload["results"] = results
     out.write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload))
 

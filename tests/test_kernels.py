@@ -237,3 +237,28 @@ def test_resolve_attention_impl_auto_is_shape_aware(monkeypatch):
     assert sm.resolve_attention_impl("auto", 8) == "blockdiag"
     assert sm.resolve_attention_impl("auto", 16) == "einsum"
     assert sm.resolve_attention_impl("auto", 32) == "einsum"
+
+
+def test_blockdiag_kernel_extreme_negative_scores_no_nan():
+    """The fused-denominator kernel drops the -inf mask pass: padded score
+    columns are exactly 0 (zero K columns), so the per-block max is >= 0.
+    With pathologically negative real scores the shifted exp underflows and
+    the denominator clamp must yield finite output (0), never NaN."""
+    from fdtpu.kernels.blockdiag_attention import blockdiag_mha
+
+    B, T, H, Dh = 2, 20, 3, 6
+    # q·k ~ -large: all real scores << -104 so exp underflows to exactly 0.
+    q = jnp.ones((B, T, H * Dh)) * 50.0
+    k = -jnp.ones((B, H, Dh, T)) * 50.0
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, Dh))
+    out = blockdiag_mha(q, k, v, interpret=True)
+    assert bool(jnp.isfinite(out).all())
+    # Moderately negative scores must still average correctly (subnormal-
+    # range denominators survive the 1e-30 clamp).
+    q2 = jnp.ones((B, T, H * Dh)) * 3.0
+    k2 = -jnp.ones((B, H, Dh, T)) * 3.0
+    out2 = blockdiag_mha(q2, k2, v, interpret=True)
+    from fdtpu.kernels.blockdiag_attention import blockdiag_mha_reference
+
+    ref2 = blockdiag_mha_reference(q2, k2, v)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-4)
