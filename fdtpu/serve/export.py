@@ -14,9 +14,17 @@ Contract: the exported function maps a PRNG key to one batch of samples,
 
     fn(key: uint32[2]) -> float32[batch, max_len, n_channels]
 
-with exactly the same values as ``DiffusionSampler.sample(batch, steps,
-key)`` produces for its first batch (same key split, same prior, same
-chain, fresh cache) — tested in tests/test_serve.py.
+with the same values as ``DiffusionSampler.sample(batch, steps, key)``
+produces for its first batch (same key split, same prior, same chain,
+fresh cache) — tested in tests/test_serve.py.  Precision note: two
+separately compiled programs of the same chain differ by ~3e-5/element
+per step (XLA fusion jitter, see CLAUDE.md), which the reverse-diffusion
+trajectory amplifies over long chains — e.g. ~1% of sample magnitude
+after 50 steps on TPU/bf16 with random weights (verified on-chip, Pallas
+kernel baked in; 12.8 MB artifact for the flagship).  This is the normal
+distance between any two compilations, not an export artifact: the
+exported program is bit-exact against a direct ``jax.jit`` of the same
+closure.
 """
 
 from __future__ import annotations
