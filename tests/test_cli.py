@@ -248,3 +248,30 @@ def test_shape_scaling_harness_smoke(tmp_path):
         chosen = entry["tau_ladder"][-1]
         assert chosen["within_floor"] and chosen["guard_silent"]
         assert entry["cached_samples_per_s_chip"] > 0
+
+
+def test_export_sampler_cli(trained_run, tmp_path):
+    """Export CLI: serialize the trained run's sampling program, reload it
+    with fdtpu.serve, and generate a batch."""
+    out = tmp_path / "sampler.stablehlo"
+    stdout = run_cli(
+        "export_sampler.py",
+        f"model_path={trained_run.parent}",
+        f"model_id={trained_run.name}",
+        "sample_batch_size=4",
+        "num_diffusion_steps=6",
+        f"out={out}",
+    )
+    line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+    meta = json.loads(line)
+    assert meta["path"] == str(out)
+    assert meta["sample_batch_size"] == 4
+    assert out.exists() and Path(f"{out}.json").exists()
+
+    import jax
+
+    from fdtpu.serve import load_exported
+
+    fn = load_exported(out)
+    samples = np.asarray(fn(jax.random.PRNGKey(0)))
+    assert samples.shape[0] == 4 and np.isfinite(samples).all()
