@@ -271,6 +271,41 @@ class SyntheticDatamodule(Datamodule):
         self.y_train = None
         self.y_test = None
 
+    def _generation_params(self) -> dict[str, int]:
+        return {
+            "max_len": self.max_len,
+            "num_samples": self.num_samples,
+            "n_channels": self.n_channels,
+            "random_seed": self.random_seed,
+        }
+
+    def prepare_data(self) -> None:
+        """Generate — or REgenerate when the cached files were produced with
+        different parameters.  Unlike the download datamodules (where
+        dir-exists ⇒ data is the data), synthetic data is a function of
+        (max_len, num_samples, n_channels, seed): silently serving a stale
+        cache trained a '187-token' model on 100-token series once.  A
+        ``synthetic_meta.json`` sidecar records the generation parameters;
+        mismatch or absence regenerates (cheap, seeded, deterministic)."""
+        import json
+
+        meta_path = self.data_dir / "synthetic_meta.json"
+        params = self._generation_params()
+        if self.data_dir.exists():
+            try:
+                if json.loads(meta_path.read_text()) == params:
+                    return
+            except (OSError, ValueError):
+                pass
+            logging.info(
+                "Cached synthetic data in %s does not match the requested "
+                "parameters %s; regenerating.", self.data_dir, params,
+            )
+        else:
+            os.makedirs(self.data_dir)
+        self.download_data()
+        meta_path.write_text(json.dumps(params))
+
     def download_data(self) -> None:
         rng = np.random.default_rng(self.random_seed)
         n_generated = 2 * self.num_samples

@@ -158,3 +158,27 @@ def test_datamodule_memoizes_datasets():
     ds_old = dm.train_dataloader().dataset
     dm.X_train = dm.X_train.copy()
     assert dm.train_dataloader().dataset is not ds_old
+
+
+def test_synthetic_regenerates_on_parameter_change(tmp_path):
+    """A cached synthetic dir generated with different parameters must be
+    regenerated, not silently served (a stale 100-token cache once trained
+    a '187-token' model on 100-token series)."""
+    from fdtpu.data import SyntheticDatamodule
+
+    dm = SyntheticDatamodule(data_dir=tmp_path, max_len=24, num_samples=8)
+    dm.prepare_data()
+    dm.setup()
+    assert dm.X_train.shape == (8, 24, 1)
+
+    dm2 = SyntheticDatamodule(data_dir=tmp_path, max_len=40, num_samples=6)
+    dm2.prepare_data()
+    dm2.setup()
+    assert dm2.X_train.shape == (6, 40, 1)
+
+    # Matching parameters reuse the cache (bit-identical reload).
+    before = dm2.X_train.copy()
+    dm3 = SyntheticDatamodule(data_dir=tmp_path, max_len=40, num_samples=6)
+    dm3.prepare_data()
+    dm3.setup()
+    np.testing.assert_array_equal(dm3.X_train, before)
