@@ -55,6 +55,41 @@ REFERENCE_AVG_SPEEDUP = 3.2  # paper §4.1: 2.1–4.3× across 5 datasets (CPU)
 CACHE_KWARGS = {"level": "score", "R": 100, "tau_0": 1.2, "eps_order": 1}
 
 
+def sliced_w2(a: np.ndarray, b: np.ndarray, directions: np.ndarray) -> float:
+    """Mean over directions of the 1-D W₂ between equal-size projections
+    (exact quantile coupling = sorted L2; fdtpu.metrics.wasserstein)."""
+    pa = np.sort(a.reshape(len(a), -1) @ directions, axis=0)
+    pb = np.sort(b.reshape(len(b), -1) @ directions, axis=0)
+    return float(np.mean(np.sqrt(np.mean((pa - pb) ** 2, axis=0))))
+
+
+def bootstrap_delta_ci(
+    s_base: np.ndarray,
+    s_base2: np.ndarray,
+    s_cached: np.ndarray,
+    directions: np.ndarray,
+    n_boot: int = 200,
+    seed: int = 7,
+) -> tuple[float, float]:
+    """95% bootstrap CI of SW(cached, base) − SW(base2, base) — the
+    cached-vs-uncached quality delta net of the finite-sample floor.  All
+    three sample sets are resampled with replacement per replicate."""
+    rng = np.random.default_rng(seed)
+    n = len(s_base)
+    deltas = []
+    for _ in range(n_boot):
+        ib = rng.integers(0, n, n)
+        ic = rng.integers(0, len(s_cached), len(s_cached))
+        if2 = rng.integers(0, len(s_base2), len(s_base2))
+        base = s_base[ib]
+        deltas.append(
+            sliced_w2(s_cached[ic], base, directions)
+            - sliced_w2(s_base2[if2], base, directions)
+        )
+    lo, hi = np.percentile(deltas, [2.5, 97.5])
+    return float(lo), float(hi)
+
+
 def measure(sampler, num_samples, steps, key, min_total_s: float = 20.0,
             max_repeats: int = 15) -> tuple[float, float]:
     """Median of repeated timed runs.  Single-run timings on the TPU tunnel
@@ -73,7 +108,9 @@ def measure(sampler, num_samples, steps, key, min_total_s: float = 20.0,
     return elapsed, out.shape[0] / elapsed
 
 
-def build_model(max_len: int, trained: bool, epochs: int):
+def build_model(max_len: int, trained: bool, epochs: int, seed: int = 42):
+    """Flagship model; ``seed`` controls init + training so independently
+    trained replicas (guard calibration across retrains) differ."""
     from fdtpu.data import SyntheticDatamodule
     from fdtpu.diffusion import VPScheduler
     from fdtpu.models import ScoreModelConfig, init_score_model
@@ -86,7 +123,7 @@ def build_model(max_len: int, trained: bool, epochs: int):
     scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(max_len)
     model = ScoreModel(
         config=cfg,
-        variables=init_score_model(jax.random.PRNGKey(0), cfg),
+        variables=init_score_model(jax.random.PRNGKey(seed - 42), cfg),
         scheduler=scheduler,
     )
     if not trained:
@@ -101,13 +138,13 @@ def build_model(max_len: int, trained: bool, epochs: int):
     params = get_training_params(dm, max_epochs=epochs)
     model.num_training_steps = params["num_training_steps"]
     trainer = Trainer(
-        max_epochs=epochs, run_dir=tempfile.mkdtemp(), seed=42,
+        max_epochs=epochs, run_dir=tempfile.mkdtemp(), seed=seed,
         log_every_n_steps=10_000,
     )
     t0 = time.time()
     model = trainer.fit(model, dm)
     train_time = time.time() - t0
-    seen = epochs * 2000  # samples seen (synthetic train split size)
+    seen = epochs * len(dm.X_train)  # samples seen (train split size)
     print(
         f"# trained flagship on synthetic-freq data: {epochs} epochs in "
         f"{train_time:.0f}s ({seen / train_time:.0f} training samples/s/chip), "
@@ -123,6 +160,11 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--steps", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=25)
+    parser.add_argument(
+        "--quality-samples", type=int, default=2048,
+        help="sample count for the UNTIMED quality legs (SW/MW vs floor + "
+        "bootstrap CI); the timing legs stay at batch * batches_per_call",
+    )
     parser.add_argument(
         "--batches-per-call", type=int, default=4,
         help="full-size batches sampled per jitted dispatch (device-resident "
@@ -161,31 +203,61 @@ def main() -> None:
     stats = cached.get_cache_stats()
 
     quality = ""
-    mw_delta = None
+    quality_record = {}
     if not args.quick:
         from fdtpu.metrics import MarginalWasserstein
 
-        # Quality at the measured skip rate: SW(cached, uncached) vs the
-        # noise floor SW(uncached, uncached') from an independent key, plus
-        # the per-feature marginal-Wasserstein delta |MW(cached) − MW(floor)|
-        # — the BASELINE.json gate's metric.
-        s_base = uncached.sample(num_samples, steps, key=jax.random.PRNGKey(1))
-        s_base2 = uncached.sample(num_samples, steps, key=jax.random.PRNGKey(99))
+        # Quality certificate, DECOUPLED from the timing protocol (VERDICT
+        # r3 ask #2): the quality legs are untimed, so they run at
+        # --quality-samples (default 2048, floor ∝ 1/√n → ~0.29 where the
+        # timed n=512 floor was 0.58) — tight enough to catch the paper's
+        # own ±5% quality band.  Reported: SW(cached, uncached) vs the
+        # independent-run noise floor SW(uncached', uncached), a 95%
+        # bootstrap CI on their difference, and the per-feature
+        # marginal-Wasserstein delta (the BASELINE.json gate's metric).
+        n_q = max(args.quality_samples, num_samples)
+        s_base = uncached.sample(n_q, steps, key=jax.random.PRNGKey(1))
+        s_base2 = uncached.sample(n_q, steps, key=jax.random.PRNGKey(99))
         cached.last_cache_state = None
-        s_ca = cached.sample(num_samples, steps, key=jax.random.PRNGKey(1))
+        s_ca = cached.sample(n_q, steps, key=jax.random.PRNGKey(1))
         sw = SlicedWasserstein(
             original_samples=s_base, random_seed=42, num_directions=200
         )
         floor = sw(s_base2)["sliced_wasserstein_mean"]
         delta = sw(s_ca)["sliced_wasserstein_mean"]
+        # Same direction-sampling convention as WassersteinDistances(seed=42).
+        rng_dir = np.random.default_rng(42)
+        dim = int(np.prod(s_base.shape[1:]))
+        dirs = rng_dir.normal(size=(200, dim))
+        directions = (dirs / np.linalg.norm(dirs, axis=1, keepdims=True)).T
+        ci_lo, ci_hi = bootstrap_delta_ci(
+            np.asarray(s_base), np.asarray(s_base2), np.asarray(s_ca),
+            directions,
+        )
         mw = MarginalWasserstein(original_samples=s_base, random_seed=42)
         mw_floor = mw(s_base2)["marginal_wasserstein_mean"]
         mw_cached = mw(s_ca)["marginal_wasserstein_mean"]
         mw_delta = abs(mw_cached - mw_floor)
         quality = (
-            f" | SW(cached,uncached) {delta:.2f} vs noise floor {floor:.2f}"
+            f" | SW(cached,uncached) {delta:.3f} vs floor {floor:.3f} @n={n_q}"
+            f" | delta CI95 [{ci_lo:+.3f}, {ci_hi:+.3f}]"
             f" | MW delta vs floor {mw_delta:.4f}"
         )
+        quality_record = {
+            "quality_n": n_q,
+            "sw_cached_vs_uncached": round(float(delta), 4),
+            f"sw_floor_n{n_q}": round(float(floor), 4),
+            "sw_delta_vs_floor": round(float(delta - floor), 4),
+            "sw_delta_ci95": [round(ci_lo, 4), round(ci_hi, 4)],
+            # Cached-vs-uncached quality in marginal-Wasserstein terms at
+            # this n (each MW value carries finite-sample noise — see the
+            # self-floor).  NOT the BASELINE 1e-3 reference-parity gate:
+            # that one is demonstrated by the same-weights trajectory
+            # replay in docs/benchmarks/quality_parity.md.
+            "mw_cached_vs_uncached": round(float(mw_cached), 4),
+            "mw_self_floor": round(float(mw_floor), 4),
+            "mw_delta_vs_floor": round(float(mw_delta), 4),
+        }
 
     speedup = t_un / t_ca
     print(
@@ -202,16 +274,8 @@ def main() -> None:
             f"1 chip; quality within noise floor)"
         ),
         "vs_baseline": round(speedup / REFERENCE_AVG_SPEEDUP, 3),
+        **quality_record,
     }
-    if mw_delta is not None:
-        # Cached-vs-uncached quality in marginal-Wasserstein terms, at this
-        # n (the two MW values carry ~O(1) finite-sample noise each — see
-        # the self-floor).  NOT the BASELINE 1e-3 reference-parity gate:
-        # that one is demonstrated by the same-weights trajectory replay in
-        # docs/benchmarks/quality_parity.md (MW delta 7.1e-4).
-        record["mw_cached_vs_uncached"] = round(float(mw_cached), 4)
-        record["mw_self_floor"] = round(float(mw_floor), 4)
-        record["mw_delta_vs_floor"] = round(float(mw_delta), 4)
     print(json.dumps(record))
 
 

@@ -48,6 +48,12 @@ ABLATIONS: list[tuple[str, dict]] = [
     ("no_extrapolation", dict(use_cache=True, cache_kwargs={"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 0})),
     ("no_event_trigger", dict(use_cache=True, cache_kwargs={"level": "score", "R": 10, "tau_0": 1e9})),
     ("no_error_feedback", dict(use_cache=True, cache_kwargs={"level": "score", "R": 999999, "tau_0": 1e9})),
+    # FreqCa as a LIVE ε̂ predictor (the reference's dormant
+    # predict_crf_freqca mechanism, caching.py:561-597, measured as an arm
+    # per VERDICT r3 ask #4): frozen low-frequency component + Hermite
+    # extrapolation of the high-frequency component over the refresh ring.
+    ("freqca_predictor", dict(use_cache=True, cache_kwargs={"level": "score", "R": 100, "tau_0": 1.0, "eps_predictor": "freqca"})),
+    ("freqca_predictor_h1", dict(use_cache=True, cache_kwargs={"level": "score", "R": 100, "tau_0": 1.0, "eps_predictor": "freqca", "hermite_order": 1})),
     # --- token level (per-token top-k recompute; the mechanism headline,
     #     docs/benchmarks/token_level.md) — each knob measurably moves
     #     speed and/or quality.

@@ -106,6 +106,15 @@ class E2CRFConfig:
     max_history: int = 10
     hermite_order: int = 3
     freq_decomp_interval: int = 10
+    # Score-level ε̂ predictor for skipped steps: "taylor" (order-``eps_order``
+    # extrapolation from the last 2-3 full computations) or "freqca" (the
+    # FreqCa mechanism applied at the ε̂ level, reference caching.py:561-597:
+    # freeze the low-frequency component at the last refresh, Hermite-
+    # extrapolate the high-frequency component over a ring of the last
+    # ``max_history`` refreshes at order ``hermite_order``).  The reference
+    # never calls its predictor from a live path (quirk Q1); here it is a
+    # measurable ablation arm (cli/ablation_cache.py freqca_predictor).
+    eps_predictor: str = "taylor"
     # Reference behavior: cache persists across sample batches (quirk Q5).
     reset_between_batches: bool = False
     # ---- Error-budget guard rail (score/token levels) -------------------
@@ -168,6 +177,7 @@ class E2CRFConfig:
             self.freq_decomp_interval,
             self.energy_weighting,
             self.auto_calibrate,
+            self.eps_predictor,
         )
 
 
@@ -233,6 +243,16 @@ class CacheState(struct.PyTreeNode):
     guard_measurements: Array  # () int32
     # EMA of realized/predicted, drives τ₀ auto-calibration (init 1.0).
     overrun: Array  # () float
+    # Running high-water mark of the refresh-time ε̂ norm — the trajectory's
+    # noise scale.  Denominators of relative-error statistics are floored at
+    # GUARD_NORM_FLOOR_FRAC × this: at the end of a trajectory ‖ε̂‖ collapses
+    # (0.61 vs the 154 trajectory scale at T=1000 on the trained flagship,
+    # scripts/diagnose_guard.py), so an unfloored ratio turns an 8%-of-scale
+    # absolute error into a 20× spike whose size depends on which exact step
+    # the final refresh lands on — ±2 steps of cross-compile fusion jitter
+    # moved it 3.1 → 20.5 between identical-seed runs (BENCH_r03 guard
+    # firing).  Scalar at score level, per-token (T,) at token level.
+    eps_norm_ref: Array
 
 
 def init_cache_state(
@@ -267,11 +287,16 @@ def init_cache_state(
     )
     eps2_shape = (batch, max_len, n_channels) if cfg.level == "score" else (0,)
     tok_shape = (max_len,) if cfg.level == "token" else (0,)
-    hist_shape = (
-        (cfg.max_history, num_layers, max_len, d_model)
-        if (cfg.use_freqca and cfg.level == "kv")
-        else (0,)
-    )
+    # History ring: the kv level stores CRF features (use_freqca), the score
+    # level stores ε̂ itself (eps_predictor="freqca") — levels are exclusive
+    # so the crf_low/crf_high_hist/crf_t_hist fields are reused for both.
+    if cfg.use_freqca and cfg.level == "kv":
+        hist_shape = (cfg.max_history, num_layers, max_len, d_model)
+    elif cfg.level == "score" and cfg.eps_predictor == "freqca":
+        hist_shape = (cfg.max_history, batch, max_len, n_channels)
+    else:
+        hist_shape = (0,)
+    has_hist = len(hist_shape) > 1
     return CacheState(
         k=jnp.zeros(kv_shape, kv_dtype),
         v=jnp.zeros(kv_shape, kv_dtype),
@@ -288,11 +313,14 @@ def init_cache_state(
         err_acc=jnp.zeros((), dtype),
         last_full_step=zero,
         cold=jnp.ones((), bool),
-        crf_low=jnp.zeros(hist_shape[1:] if len(hist_shape) > 1 else (0,), kv_dtype),
-        crf_high_hist=jnp.zeros(hist_shape, kv_dtype),
-        crf_t_hist=jnp.zeros(
-            (cfg.max_history,) if cfg.use_freqca else (0,), dtype
+        crf_low=jnp.zeros(
+            hist_shape[1:] if has_hist else (0,),
+            kv_dtype if cfg.level == "kv" else dtype,
         ),
+        crf_high_hist=jnp.zeros(
+            hist_shape, kv_dtype if cfg.level == "kv" else dtype
+        ),
+        crf_t_hist=jnp.zeros((cfg.max_history,) if has_hist else (0,), dtype),
         hist_len=zero,
         step=zero,
         recompute_count=zero,
@@ -305,6 +333,9 @@ def init_cache_state(
         realized_err_max=jnp.zeros((), dtype),
         guard_measurements=zero,
         overrun=jnp.ones((), dtype),
+        eps_norm_ref=jnp.zeros(
+            (max_len,) if cfg.level == "token" else (), dtype
+        ),
     )
 
 
@@ -470,6 +501,24 @@ def token_policy(
 # anything, so tiny predicted values must not inflate the ratio.
 GUARD_PREDICTED_FLOOR = 0.05
 
+# Relative-error denominators are floored at this fraction of the
+# trajectory-scale ε̂ norm (CacheState.eps_norm_ref).  Mechanism + evidence
+# in the eps_norm_ref field doc: end-of-trajectory ‖ε̂‖ shrinkage otherwise
+# turns sub-scale absolute errors into unbounded ratios whose magnitude is a
+# function of refresh phase, not of sample quality.
+GUARD_NORM_FLOOR_FRAC = 0.1
+
+
+def guard_relative_error(delta_norm: Array, eps_norm: Array,
+                         norm_ref: Array) -> Array:
+    """Extrapolation error relative to ``max(‖ε̂‖, 10% of trajectory scale)``.
+
+    Used for BOTH the skip budget's drift rate and the guard's realized
+    error, so predicted and realized stay in the same units."""
+    return delta_norm / jnp.maximum(
+        eps_norm, GUARD_NORM_FLOOR_FRAC * norm_ref
+    )
+
 
 def record_guard_measurement(
     state: CacheState,
@@ -606,8 +655,13 @@ def predict_crf_freqca(cfg: E2CRFConfig, state: CacheState, t_val: Array) -> Arr
     high-frequency component (reference caching.py:561-597)."""
     from fdtpu.ops.fourier import predict_hermite
 
+    # The shift-left ring keeps its newest entry last: only the trailing
+    # ``hist_len`` rows are live observations.
+    k = state.crf_high_hist.shape[0]
+    valid = jnp.arange(k) >= (k - state.hist_len)
     crf_high_pred = predict_hermite(
-        state.crf_high_hist, state.crf_t_hist, t_val, cfg.hermite_order
+        state.crf_high_hist, state.crf_t_hist, t_val, cfg.hermite_order,
+        valid=valid,
     )
     pred = state.crf_low + crf_high_pred
     # Not enough history → fall back to the previous CRF.

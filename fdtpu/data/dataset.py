@@ -65,7 +65,13 @@ class DiffusionDataset:
             if fourier_transform:
                 X_ref = _host_dft(X_ref)
         self.feature_mean = X_ref.mean(axis=0)
-        self.feature_std = X_ref.std(axis=0, ddof=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            std = X_ref.std(axis=0, ddof=1)
+        # Degenerate stats guard: a single-sample reference set (ddof=1 →
+        # NaN) or a constant feature (std 0) must not poison standardization
+        # with NaN/inf — fall back to unit scale for those features.  (The
+        # reference inherits torch's NaN here and trains to NaN loss.)
+        self.feature_std = np.where(np.isfinite(std) & (std > 0), std, 1.0)
 
     def __len__(self) -> int:
         return len(self.X)

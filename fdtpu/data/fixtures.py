@@ -99,23 +99,30 @@ def write_nasa_fixture(root: Path, n_files: int = 3, seed: int = 2,
     )
     meta.to_csv(d / "cleaned_dataset" / "metadata.csv", index=False)
     # bin 10s / cutoff 5000 (charge) or 15s / 2000 (discharge): 5s samples
-    # spanning past the cutoff satisfy both.
+    # spanning past the cutoff satisfy both.  The load/charge column pair
+    # differs per subset (preprocessing.py charge vs discharge features).
     t = np.arange(0, 5100, 5.0)
+    extra = (
+        ("Current_charge", "Voltage_charge")
+        if kind == "charge"
+        else ("Current_load", "Voltage_load")
+    )
     for f in files:
         pd.DataFrame(
             {
                 "Voltage_measured": rng.uniform(3, 4, len(t)),
                 "Current_measured": rng.uniform(-1, 2, len(t)),
                 "Temperature_measured": rng.uniform(20, 40, len(t)),
-                "Current_charge": rng.uniform(0, 2, len(t)),
-                "Voltage_charge": rng.uniform(4, 5, len(t)),
+                extra[0]: rng.uniform(0, 2, len(t)),
+                extra[1]: rng.uniform(4, 5, len(t)),
                 "Time": t,
             }
         ).to_csv(d / "cleaned_dataset" / "data" / f, index=False)
     return d
 
 
-def write_droughts_fixture(root: Path, fips: tuple = (1001, 1003),
+def write_droughts_fixture(root: Path,
+                           fips: tuple = (1001, 1003, 1005, 1007, 1009, 1011),
                            seed: int = 3) -> Path:
     """train_timeseries.csv: daily county meteorology; NaN-bearing columns
     (weekly drought score) are dropped, then T2M-correlated features

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -310,6 +311,8 @@ def predict_hermite(
     timesteps: Array,
     target_timestep: Array,
     order: int = 2,
+    valid: Optional[Array] = None,
+    clip_target: bool | Array = True,
 ) -> Array:
     """Least-squares Hermite extrapolation of feature history (FreqCa).
 
@@ -322,6 +325,19 @@ def predict_hermite(
         timesteps: ``(K,)`` timesteps of the history entries.
         target_timestep: scalar target time.
         order: Hermite order (static).
+        valid: optional ``(K,)`` bool mask of live ring entries.  A
+            fixed-size ring that is not yet full carries zero-padded rows;
+            without the mask those rows enter the fit as real observations
+            at t=0 and corrupt the coefficients (the reference's Python
+            list has no such rows).  Implemented as zero-weight rows in the
+            normal equations.
+        clip_target: clip the normalized target into the history span
+            (reference behavior — smoothing, the prediction saturates at
+            the span edge).  ``False`` evaluates the fitted polynomial at
+            the true (extrapolated) target, for genuinely predictive use.
+            May be a traced bool — e.g. ``hist_len <= order`` so an
+            underdetermined fit (fewer live points than coefficients, held
+            together only by the ridge term) is never extrapolated.
 
     Returns:
         Predicted features with shape ``history.shape[1:]``.
@@ -329,19 +345,26 @@ def predict_hermite(
     k = history.shape[0]
     if k < 2:
         return history[-1]
-    t_min = jnp.min(timesteps)
-    t_max = jnp.max(timesteps)
+    if valid is None:
+        valid = jnp.ones((k,), bool)
+    w = valid.astype(history.dtype)
+    big = jnp.finfo(timesteps.dtype).max
+    t_min = jnp.min(jnp.where(valid, timesteps, big))
+    t_max = jnp.max(jnp.where(valid, timesteps, -big))
     span = t_max - t_min
     safe_span = jnp.where(span == 0, 1.0, span)
     s_hist = jnp.clip(2 * (timesteps - t_min) / safe_span - 1, -1.0, 1.0)
-    s_target = jnp.clip(2 * (target_timestep - t_min) / safe_span - 1, -1.0, 1.0)
+    s_target = 2 * (target_timestep - t_min) / safe_span - 1
+    s_target = jnp.where(clip_target, jnp.clip(s_target, -1.0, 1.0), s_target)
 
-    h_matrix = hermite_design_matrix(s_hist, order)  # (K, order+1)
+    h_matrix = hermite_design_matrix(s_hist, order) * w[:, None]  # (K, order+1)
     h_target = hermite_polynomials(s_target[None], order=order)[:, 0]  # (order+1,)
 
     hth = h_matrix.T @ h_matrix + jnp.eye(order + 1, dtype=history.dtype) * 1e-6
-    flat = history.reshape(k, -1)
+    flat = history.reshape(k, -1) * w[:, None]
     coeffs = jnp.linalg.solve(hth, h_matrix.T @ flat)  # (order+1, F)
     prediction = (h_target @ coeffs).reshape(history.shape[1:])
     # Degenerate span: fall back to the most recent entry (reference behavior).
-    return jnp.where(span == 0, flat[-1].reshape(history.shape[1:]), prediction)
+    return jnp.where(
+        span == 0, history[-1], prediction
+    )

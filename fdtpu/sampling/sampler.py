@@ -36,6 +36,7 @@ from fdtpu.cache.e2crf import (
     E2CRFConfig,
     PolicyParams,
     event_policy,
+    guard_relative_error,
     init_cache_state,
     macro_policy,
     record_guard_measurement,
@@ -82,6 +83,7 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
             "recompute_count", "cache_hit_count", "full_steps", "mixed_steps",
             "cached_steps", "realized_err_sum", "predicted_err_sum",
             "realized_err_max", "guard_measurements", "overrun",
+            "eps_norm_ref",
         )
     }
     return state.replace(
@@ -155,6 +157,7 @@ def sample_chain(
     fresca_high_scale: float = 1.5,
     fresca_cutoff_ratio: float = 0.5,
     fresca_cutoff_strategy: str = "energy",
+    guard_trace: bool = False,
 ) -> tuple[Array, Optional[CacheState]]:
     """Run the full reverse diffusion from prior sample ``x0``.
 
@@ -163,6 +166,12 @@ def sample_chain(
     The numeric cache knobs (K, R, τ₀, τ_warn, probe ratio) and the FreSca
     scales are *traced*, so hyperparameter sweeps reuse one compiled program;
     only structural choices (policy, level, FreqCa) recompile.
+
+    ``guard_trace=True`` (score level only) additionally returns per-step
+    guard telemetry arrays ``(measured, rel, eps_norm, err_acc, steps_since)``
+    each of shape ``(num_steps,)`` — the raw data behind each
+    ``record_guard_measurement`` call, for offline diagnosis of guard
+    statistics (docs/benchmarks/guard_demo.json methodology).
     """
     pp, cache_cfg = _normalize_cache_cfg(cache_cfg)
     variables = _cast_variables(variables, model_cfg)
@@ -181,6 +190,7 @@ def sample_chain(
         use_fresca=use_fresca,
         fresca_cutoff_ratio=fresca_cutoff_ratio,
         fresca_cutoff_strategy=fresca_cutoff_strategy,
+        guard_trace=guard_trace,
     )
 
 
@@ -200,10 +210,13 @@ def _sample_chain_impl(
     use_fresca: bool,
     fresca_cutoff_ratio: float,
     fresca_cutoff_strategy: str,
+    guard_trace: bool = False,
 ) -> tuple[Array, Optional[CacheState]]:
     ts, step_size = scheduler.timesteps(num_steps)
     use_cache = cache_cfg is not None
     batch = x0.shape[0]
+    if guard_trace and (not use_cache or cache_cfg.level != "score"):
+        raise NotImplementedError("guard_trace only supports level='score'")
 
     def maybe_fresca(score: Array, t: Array) -> Array:
         if not use_fresca:
@@ -235,15 +248,38 @@ def _sample_chain_impl(
 
     max_len = model_cfg.max_len
     order = cache_cfg.eps_order if use_cache else 0
+    predictor = cache_cfg.eps_predictor if use_cache else "taylor"
 
-    def eps_predict(c: CacheState, steps_ahead):
+    def eps_predict(c: CacheState, steps_ahead, t):
         """Extrapolate ε̂ ``steps_ahead`` past the last full computation.
 
-        Order 0: frozen reuse.  Order 1: linear from the last two full
-        computations.  Order 2: quadratic (Newton form) from the last
-        three — the FreqCa trajectory-prediction idea at the ε level.
+        ``eps_predictor="taylor"`` (default): order 0 = frozen reuse,
+        order 1 = linear from the last two full computations, order 2 =
+        quadratic (Newton form) from the last three.
+        ``eps_predictor="freqca"``: frozen low-frequency component +
+        Hermite-extrapolated high-frequency component over the refresh
+        history ring (the reference's dormant predict_crf_freqca mechanism,
+        caching.py:561-597, applied at the ε̂ level; evaluated at the true
+        target time ``t``, not span-clipped).
         ``steps_ahead`` broadcasts, so a vector predicts a whole span.
         """
+        if predictor == "freqca":
+            from fdtpu.ops.fourier import predict_hermite
+
+            k_hist = c.crf_high_hist.shape[0]
+            valid = jnp.arange(k_hist) >= (k_hist - c.hist_len)
+            high = predict_hermite(
+                c.crf_high_hist, c.crf_t_hist, t,
+                order=cache_cfg.hermite_order, valid=valid,
+                # Extrapolate only once the fit is determined; an
+                # underdetermined ridge fit extrapolated past the span
+                # diverges (182× realized error on the smoke model).
+                clip_target=c.hist_len <= cache_cfg.hermite_order,
+            )
+            pred = c.crf_low.astype(c.eps_hat.dtype) + high.astype(c.eps_hat.dtype)
+            # <2 live observations: frozen reuse (order-0 fallback).
+            pred = jnp.where(c.hist_len >= 2, pred, c.eps_hat)
+            return pred + 0.0 * steps_ahead
         if order == 0:
             # Frozen reuse; the zero product keeps broadcasting against a
             # span vector identical to the higher orders.
@@ -276,22 +312,67 @@ def _sample_chain_impl(
             score = score_apply(variables, model_cfg, x, t_batch)
             eps_new = -std[..., None] * score
             denom = jnp.linalg.norm(eps_new) + 1e-8
+            # Trajectory noise scale: high-water mark of refresh-time ‖ε̂‖.
+            norm_ref = jnp.maximum(c.eps_norm_ref, denom.astype(x.dtype))
             is_cold = c.cold
             steps_since = jnp.maximum(c.step - c.last_full_step, 1).astype(x.dtype)
             # Drift rate measured against what the skip branch WOULD have
             # predicted for this step — the budget tracks the extrapolation
-            # residual, not the raw ε̂ change.
-            eps_pred = eps_predict(c, steps_since)
-            rel = jnp.linalg.norm(eps_new - eps_pred) / denom
+            # residual, not the raw ε̂ change.  The denominator is floored at
+            # 10% of the trajectory scale (guard_relative_error): without the
+            # floor, the end-of-trajectory ‖ε̂‖ collapse turns the final
+            # refresh into a phase-dependent 20× spike (BENCH_r03 guard
+            # firing; scripts/diagnose_guard.py).
+            eps_pred = eps_predict(c, steps_since, t)
+            measured = (~is_cold) & (steps_since > 1)
+            rel = guard_relative_error(
+                jnp.linalg.norm(eps_new - eps_pred), denom, norm_ref
+            )
             drift_rate = jnp.where(is_cold, jnp.zeros((), x.dtype), rel / steps_since)
+            trace = (
+                measured.astype(jnp.float32),
+                rel.astype(jnp.float32),
+                denom.astype(jnp.float32),
+                c.err_acc.astype(jnp.float32),
+                steps_since.astype(jnp.float32),
+            )
             # Guard telemetry: a refresh that closes a real skip span
             # (steps_since > 1) measures how far the extrapolation actually
             # drifted vs what the budget predicted (err_acc).
             c = record_guard_measurement(
-                c, (~is_cold) & (steps_since > 1), rel, c.err_acc,
-                pp.guard_abs_tol,
+                c, measured, rel, c.err_acc, pp.guard_abs_tol,
             )
+            freqca_updates = {}
+            if predictor == "freqca":
+                from fdtpu.ops.fourier import frequency_decompose_fft
+
+                eps_low, eps_high = frequency_decompose_fft(
+                    eps_new, cache_cfg.low_freq_ratio
+                )
+                k_hist = c.crf_high_hist.shape[0]
+                freqca_updates = dict(
+                    crf_low=eps_low.astype(c.crf_low.dtype),
+                    crf_high_hist=jnp.concatenate(
+                        [
+                            c.crf_high_hist[1:],
+                            eps_high[None].astype(c.crf_high_hist.dtype),
+                        ],
+                        axis=0,
+                    ),
+                    crf_t_hist=jnp.concatenate(
+                        [c.crf_t_hist[1:], t[None].astype(c.crf_t_hist.dtype)]
+                    ),
+                    # A cold refresh starts a new trajectory: the ring's
+                    # older entries belong to the previous one — restart
+                    # the live count at this single observation.
+                    hist_len=jnp.where(
+                        is_cold,
+                        jnp.ones((), jnp.int32),
+                        jnp.minimum(c.hist_len + 1, k_hist),
+                    ),
+                )
             c = c.replace(
+                eps_norm_ref=norm_ref,
                 cold=jnp.zeros((), bool),
                 eps_prev2=jnp.where(is_cold, eps_new, c.eps_prev),
                 eps_gap2=jnp.where(is_cold, jnp.zeros((), x.dtype), c.eps_gap),
@@ -303,29 +384,31 @@ def _sample_chain_impl(
                 last_full_step=c.step,
                 full_steps=c.full_steps + 1,
                 recompute_count=c.recompute_count + max_len,
+                **freqca_updates,
             )
-            return score, c
+            return score, c, trace
 
         def skip_fn(c: CacheState):
             # Reconstruct the score from the predicted noise — the network
             # is skipped entirely.
             steps_ahead = (c.step - c.last_full_step + 1).astype(x.dtype)
-            eps = eps_predict(c, steps_ahead)
+            eps = eps_predict(c, steps_ahead, t)
             score = -eps / std[..., None]
             c = c.replace(
                 err_acc=c.err_acc + c.drift_rate,
                 cached_steps=c.cached_steps + 1,
                 cache_hit_count=c.cache_hit_count + max_len,
             )
-            return score, c
+            zero = jnp.zeros((), jnp.float32)
+            return score, c, (zero, zero, zero, zero, zero)
 
         compute = score_skip_decision(cache_cfg, pp, cache)
-        score, cache = jax.lax.cond(compute, full_fn, skip_fn, cache)
+        score, cache, trace = jax.lax.cond(compute, full_fn, skip_fn, cache)
         score = maybe_fresca(score, t)
         z = jax.random.normal(k_noise, x.shape, x.dtype)
         x = scheduler.step(score, t, x, z, step_size)
         cache = cache.replace(step=cache.step + 1)
-        return (x, k, cache), None
+        return (x, k, cache), (trace if guard_trace else None)
 
     def token_level_body(carry, t):
         """Per-token E²-CRF with static top-k budget (level="token").
@@ -362,17 +445,24 @@ def _sample_chain_impl(
 
         mode, w_drift, mean_drift = token_policy(cache_cfg, pp, cache, x)
 
-        def _tok_residual_rate(eps_new, pred, ages):
+        def _tok_norms(eps):
+            return jnp.linalg.norm(eps.astype(jnp.float32), axis=(0, 2))
+
+        def _tok_residual_rate(eps_new, pred, ages, ref):
             """Relative extrapolation residual per token per elapsed step.
 
             Norms over (batch, channels) in float32; ``ages`` counts the
-            steps the prediction had to bridge.
+            steps the prediction had to bridge; ``ref`` is each token's
+            trajectory-scale ε̂ norm — the denominator floor
+            (guard_relative_error; same end-of-trajectory shrinkage
+            mechanism as the score level).
             """
             num = jnp.linalg.norm(
                 (eps_new - pred).astype(jnp.float32), axis=(0, 2)
             )
-            den = jnp.linalg.norm(eps_new.astype(jnp.float32), axis=(0, 2)) + 1e-8
-            return (num / den) / jnp.maximum(ages.astype(jnp.float32), 1.0)
+            den = _tok_norms(eps_new) + 1e-8
+            rel = guard_relative_error(num, den, ref.astype(jnp.float32))
+            return rel / jnp.maximum(ages.astype(jnp.float32), 1.0)
 
         def full_fn(c: CacheState):
             score, kv_new, _ = score_apply_cached(
@@ -380,10 +470,13 @@ def _sample_chain_impl(
                 jnp.ones((max_len,), bool), 0,  # MODE_FULL
             )
             eps_new = -stdc * score
+            norm_ref = jnp.maximum(
+                c.eps_norm_ref, _tok_norms(eps_new).astype(c.eps_norm_ref.dtype)
+            )
             rate = jnp.where(
                 c.cold,
                 jnp.zeros((max_len,), jnp.float32),
-                _tok_residual_rate(eps_new, eps_pred, age),
+                _tok_residual_rate(eps_new, eps_pred, age, norm_ref),
             ).astype(c.delta_tok.dtype)
             # Guard telemetry: realized mean per-token extrapolation error
             # over the spans just closed (rate × age undoes the per-step
@@ -403,6 +496,7 @@ def _sample_chain_impl(
                 eps_hat=eps_new,
                 last_tok=jnp.full_like(c.last_tok, c.step),
                 delta_tok=rate,
+                eps_norm_ref=norm_ref,
                 err_acc=jnp.zeros((), c.err_acc.dtype),
                 last_full_step=c.step,
                 cold=jnp.zeros((), bool),
@@ -436,9 +530,13 @@ def _sample_chain_impl(
             eps_rows = -std_rows[..., None] * out_rows
             pred_rows = jnp.take(eps_pred, idx, axis=1)
             age_rows = jnp.take(age, idx)
-            rate_rows = _tok_residual_rate(eps_rows, pred_rows, age_rows).astype(
-                c.delta_tok.dtype
+            ref_rows = jnp.maximum(
+                jnp.take(c.eps_norm_ref, idx),
+                _tok_norms(eps_rows).astype(c.eps_norm_ref.dtype),
             )
+            rate_rows = _tok_residual_rate(
+                eps_rows, pred_rows, age_rows, ref_rows
+            ).astype(c.delta_tok.dtype)
 
             eps_full = eps_pred.at[:, idx].set(eps_rows)
             score = -eps_full / stdc
@@ -455,6 +553,7 @@ def _sample_chain_impl(
                 eps_hat=c.eps_hat.at[:, idx].set(eps_rows),
                 last_tok=c.last_tok.at[idx].set(c.step),
                 delta_tok=c.delta_tok.at[idx].set(rate_rows),
+                eps_norm_ref=c.eps_norm_ref.at[idx].set(ref_rows),
                 err_acc=c.err_acc + err_inc.astype(c.err_acc.dtype),
                 mixed_steps=c.mixed_steps + 1,
                 recompute_count=c.recompute_count + budget,
@@ -515,7 +614,9 @@ def _sample_chain_impl(
     # launch overhead — the 0.13 ms/step skip body is real compute (noise
     # draw + ε̂ extrapolation + EM update) that vectorizing over steps
     # cannot reduce.  Evidence: docs/benchmarks/block_size.json.
-    (x, _, cache_state), _ = jax.lax.scan(body, (x0, key, cache_state), ts)
+    (x, _, cache_state), ys = jax.lax.scan(body, (x0, key, cache_state), ts)
+    if guard_trace:
+        return x, cache_state, ys
     return x, cache_state
 
 
@@ -532,6 +633,7 @@ _sample_chain = partial(
         "use_fresca",
         "fresca_cutoff_ratio",
         "fresca_cutoff_strategy",
+        "guard_trace",
     ),
     donate_argnums=(2,),
 )(_sample_chain_impl)
@@ -696,6 +798,20 @@ class DiffusionSampler:
         self.cache_config = (
             E2CRFConfig(**(cache_kwargs or {})) if use_cache else None
         )
+        if self.cache_config is not None:
+            if self.cache_config.eps_predictor not in ("taylor", "freqca"):
+                raise ValueError(
+                    "eps_predictor must be 'taylor' or 'freqca' "
+                    f"(got {self.cache_config.eps_predictor!r})"
+                )
+            if (
+                self.cache_config.eps_predictor == "freqca"
+                and self.cache_config.level != "score"
+            ):
+                raise ValueError(
+                    "eps_predictor='freqca' is a score-level predictor "
+                    f"(got level={self.cache_config.level!r})"
+                )
         if (
             self.cache_config is not None
             and self.cache_config.level == "token"

@@ -226,7 +226,7 @@ def bench_frontier(args) -> None:
                     config=cfg,
                     variables=init_score_model(jax.random.PRNGKey(0), cfg),
                     scheduler=scheduler,
-                    num_training_steps=2 * (2048 // batch),
+                    num_training_steps=2 * len(dm.train_dataloader()),
                 )
 
             try:
@@ -294,7 +294,7 @@ def bench_training(args) -> None:
                 config=cfg,
                 variables=init_score_model(jax.random.PRNGKey(0), cfg),
                 scheduler=scheduler,
-                num_training_steps=2 * (2000 // 64),
+                num_training_steps=2 * len(dm.train_dataloader()),
             )
 
         Trainer(max_epochs=1, run_dir=tempfile.mkdtemp(), seed=42,

@@ -1,18 +1,23 @@
 #!/usr/bin/env python
-"""Guard-rail validation on a trained flagship (VERDICT round-2 ask #3).
+"""Guard-rail validation on trained flagships.
 
-Trains the bench flagship once (synthetic-freq, 25 epochs), then sweeps
-the documented safe and collapsing operating points from the τ₀ frontier
-(docs/benchmarks/README.md: floor crossing between τ₀=2 and 5; pure
-periodic R≥20 collapses) and records, per arm: realized SW deviation vs
-the uncached run, the guard telemetry, and whether the runtime guard
-flagged it.  Writes docs/benchmarks/guard_demo.json.
+v1 (VERDICT round-2 ask #3, default mode): trains the bench flagship once
+(synthetic-freq, 25 epochs), sweeps the documented safe and collapsing
+operating points from the τ₀ frontier (docs/benchmarks/README.md: floor
+crossing between τ₀=2 and 5; pure periodic R≥20 collapses) and records, per
+arm: realized SW deviation vs the uncached run, the guard telemetry, and
+whether the runtime guard flagged it.  Writes docs/benchmarks/guard_demo.json.
 
-Done criterion from the verdict: the collapse arms (score τ₀≥5, periodic
-R≥20; token-level τ₀=3 analog) are caught at runtime; the quality-safe
-arms are not.
+v2 (VERDICT round-3 ask #7, ``--v2``): the same confusion matrix over ≥3
+INDEPENDENTLY TRAINED flagships (different init+training seeds) × T ∈
+{500, 1000}, so the mean/max thresholds carry across-retrain error bars.
+Writes docs/benchmarks/guard_demo_v2.json with per-run arms and a per-arm
+spread summary.
 
-Usage: python scripts/guard_calibration.py [--epochs 25] [--steps 500]
+Usage:
+  python scripts/guard_calibration.py [--epochs 25] [--steps 500]
+  python scripts/guard_calibration.py --v2 --train-seeds 42,43,44 \
+      --steps-list 500,1000
 """
 
 from __future__ import annotations
@@ -59,54 +64,36 @@ ARMS = [
         {"level": "score", "R": 20, "tau_0": 5.0, "auto_calibrate": True},
         "rescued",
     ),
+    # The SHIPPED headline operating point (bench.py CACHE_KWARGS) — its
+    # across-retrain/across-T spread is what the guard thresholds must
+    # clear with margin (VERDICT r3 weakness #1).
+    ("headline_tau1.2_R100", {"level": "score", "R": 100, "tau_0": 1.2}, "safe"),
 ]
 
 
-def main() -> None:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--epochs", type=int, default=25)
-    parser.add_argument("--steps", type=int, default=500)
-    parser.add_argument("--batch", type=int, default=128)
-    parser.add_argument("--arms", type=str, default=None,
-                        help="comma-separated arm names to (re)run")
-    args = parser.parse_args()
-
-    import bench
-
+def run_suite(model, batch: int, steps: int, arms, sw_floor_samples=None):
+    """Sweep ``arms`` on one trained model at one T; returns
+    (floor, arms_payload)."""
     from fdtpu.metrics import SlicedWasserstein
     from fdtpu.sampling import DiffusionSampler
 
-    model = bench.build_model(max_len=187, trained=True, epochs=args.epochs)
-
-    uncached = DiffusionSampler(model, sample_batch_size=args.batch)
-    s_base = uncached.sample(args.batch, args.steps, key=jax.random.PRNGKey(1))
-    s_base2 = uncached.sample(args.batch, args.steps, key=jax.random.PRNGKey(99))
+    uncached = DiffusionSampler(model, sample_batch_size=batch)
+    s_base = uncached.sample(batch, steps, key=jax.random.PRNGKey(1))
+    s_base2 = uncached.sample(batch, steps, key=jax.random.PRNGKey(99))
     sw = SlicedWasserstein(
         original_samples=s_base, random_seed=42, num_directions=200
     )
     floor = float(sw(s_base2)["sliced_wasserstein_mean"])
 
-    out = REPO / "docs" / "benchmarks" / "guard_demo.json"
-    payload = {
-        "config": {"epochs": args.epochs, "steps": args.steps,
-                   "batch": args.batch, "sw_noise_floor": floor},
-        "arms": {},
-    }
-    if args.arms and out.exists():
-        # Subset rerun: keep the other arms' existing entries.
-        payload["arms"] = json.loads(out.read_text()).get("arms", {})
-    arms = ARMS
-    if args.arms:
-        wanted = set(args.arms.split(","))
-        arms = [a for a in ARMS if a[0] in wanted]
+    payload = {}
     for name, kwargs, expected in arms:
         sampler = DiffusionSampler(
-            model, sample_batch_size=args.batch, use_cache=True,
+            model, sample_batch_size=batch, use_cache=True,
             cache_kwargs=dict(kwargs),
         )
         with warnings.catch_warnings(record=True) as caught:
             warnings.simplefilter("always")
-            s = sampler.sample(args.batch, args.steps, key=jax.random.PRNGKey(1))
+            s = sampler.sample(batch, steps, key=jax.random.PRNGKey(1))
         flagged = any("error-budget guard" in str(w.message) for w in caught)
         stats = sampler.get_cache_stats()
         sw_dev = float(sw(s)["sliced_wasserstein_mean"])
@@ -132,18 +119,18 @@ def main() -> None:
             # so the second batch starts with a tightened budget.  Sample
             # two batches in one call and score each half.
             s2 = DiffusionSampler(
-                model, sample_batch_size=args.batch, use_cache=True,
+                model, sample_batch_size=batch, use_cache=True,
                 cache_kwargs=dict(kwargs),
-            ).sample(2 * args.batch, args.steps, key=jax.random.PRNGKey(2))
+            ).sample(2 * batch, steps, key=jax.random.PRNGKey(2))
             entry["second_batch"] = {
                 "sw_first_batch": float(
-                    sw(s2[: args.batch])["sliced_wasserstein_mean"]
+                    sw(s2[:batch])["sliced_wasserstein_mean"]
                 ),
                 "sw_vs_uncached": float(
-                    sw(s2[args.batch:])["sliced_wasserstein_mean"]
+                    sw(s2[batch:])["sliced_wasserstein_mean"]
                 ),
             }
-        payload["arms"][name] = entry
+        payload[name] = entry
         print(
             f"{name:<22} expect={expected:<9} flagged={flagged!s:<5} "
             f"SW {sw_dev:8.2f} (floor {floor:.2f})  realized "
@@ -157,11 +144,11 @@ def main() -> None:
             ),
             file=sys.stderr,
         )
-        out.write_text(json.dumps(payload, indent=2))
+    return floor, payload
 
-    # Detector confusion summary ("degraded" and "collapse" should flag).
-    arms = payload["arms"]
-    payload["summary"] = {
+
+def confusion_summary(arms: dict) -> dict:
+    return {
         "collapse_caught": all(
             a["guard_flagged"] for a in arms.values()
             if a["expected"] in ("collapse", "degraded")
@@ -178,6 +165,104 @@ def main() -> None:
             else None
         ),
     }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=25)
+    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--arms", type=str, default=None,
+                        help="comma-separated arm names to (re)run")
+    parser.add_argument("--v2", action="store_true",
+                        help="across-retrain × across-T calibration sweep")
+    parser.add_argument("--train-seeds", type=str, default="42,43,44")
+    parser.add_argument("--steps-list", type=str, default="500,1000")
+    args = parser.parse_args()
+
+    import bench
+
+    arms = ARMS
+    if args.arms:
+        wanted = set(args.arms.split(","))
+        arms = [a for a in ARMS if a[0] in wanted]
+
+    if args.v2:
+        seeds = [int(s) for s in args.train_seeds.split(",")]
+        steps_list = [int(s) for s in args.steps_list.split(",")]
+        out = REPO / "docs" / "benchmarks" / "guard_demo_v2.json"
+        payload = {
+            "config": {"epochs": args.epochs, "batch": args.batch,
+                       "train_seeds": seeds, "steps_list": steps_list},
+            "runs": json.loads(out.read_text()).get("runs", {}) if out.exists() else {},
+        }
+        for seed in seeds:
+            model = bench.build_model(
+                max_len=187, trained=True, epochs=args.epochs, seed=seed
+            )
+            for steps in steps_list:
+                key = f"seed{seed}_T{steps}"
+                print(f"=== {key} ===", file=sys.stderr)
+                floor, run_arms = run_suite(model, args.batch, steps, arms)
+                payload["runs"][key] = {
+                    "sw_noise_floor": floor, "arms": run_arms,
+                    "summary": confusion_summary(run_arms),
+                }
+                out.write_text(json.dumps(payload, indent=2))
+        # Per-arm spread across runs: the error bars the thresholds must
+        # clear (safe arms' max stays below guard_max_tol with margin;
+        # collapse/degraded arms' min stays above some threshold).
+        spread: dict[str, dict] = {}
+        for name, _, expected in arms:
+            vals = [
+                r["arms"][name] for r in payload["runs"].values()
+                if name in r["arms"]
+            ]
+            if not vals:
+                continue
+            spread[name] = {
+                "expected": expected,
+                "n_runs": len(vals),
+                "realized_err_mean_range": [
+                    min(v["realized_err_mean"] for v in vals),
+                    max(v["realized_err_mean"] for v in vals),
+                ],
+                "realized_err_max_range": [
+                    min(v["realized_err_max"] for v in vals),
+                    max(v["realized_err_max"] for v in vals),
+                ],
+                "flagged": [v["guard_flagged"] for v in vals],
+                "sw_vs_uncached_range": [
+                    min(v["sw_vs_uncached"] for v in vals),
+                    max(v["sw_vs_uncached"] for v in vals),
+                ],
+            }
+        payload["per_arm_spread"] = spread
+        payload["summary"] = {
+            "all_runs_collapse_caught": all(
+                r["summary"]["collapse_caught"] for r in payload["runs"].values()
+            ),
+            "all_runs_safe_clean": all(
+                r["summary"]["safe_clean"] for r in payload["runs"].values()
+            ),
+        }
+        out.write_text(json.dumps(payload, indent=2))
+        print(json.dumps(payload["summary"]))
+        return
+
+    model = bench.build_model(max_len=187, trained=True, epochs=args.epochs)
+    out = REPO / "docs" / "benchmarks" / "guard_demo.json"
+    existing = {}
+    if args.arms and out.exists():
+        # Subset rerun: keep the other arms' existing entries.
+        existing = json.loads(out.read_text()).get("arms", {})
+    floor, run_arms = run_suite(model, args.batch, args.steps, arms)
+    payload = {
+        "config": {"epochs": args.epochs, "steps": args.steps,
+                   "batch": args.batch, "sw_noise_floor": floor},
+        "arms": {**existing, **run_arms},
+    }
+    payload["summary"] = confusion_summary(payload["arms"])
     out.write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload["summary"]))
 

@@ -68,16 +68,21 @@ def _load_cli(name: str):
     return mod
 
 
-# dataset key → (config datamodule group, extra train overrides, fixture writer)
+# dataset key → (config datamodule group, extra train overrides,
+#                 (fixture writer, writer kwargs))
 DATASETS = {
-    "ecg": ("ecg", [], "write_ecg_fixture"),
-    "nasdaq": ("nasdaq", [], "write_nasdaq_fixture"),
-    "nasa_charge": ("nasa", ["datamodule.subdataset=charge"], "write_nasa_fixture"),
-    "nasa_discharge": (
-        "nasa", ["datamodule.subdataset=discharge"], "write_nasa_fixture"
+    "ecg": ("ecg", [], ("write_ecg_fixture", {})),
+    "nasdaq": ("nasdaq", [], ("write_nasdaq_fixture", {})),
+    "nasa_charge": (
+        "nasa", ["datamodule.subdataset=charge"],
+        ("write_nasa_fixture", {"kind": "charge"}),
     ),
-    "droughts": ("usdroughts", [], "write_droughts_fixture"),
-    "mimic": ("mimiciii", [], "write_mimic_fixture"),
+    "nasa_discharge": (
+        "nasa", ["datamodule.subdataset=discharge"],
+        ("write_nasa_fixture", {"kind": "discharge"}),
+    ),
+    "droughts": ("usdroughts", [], ("write_droughts_fixture", {})),
+    "mimic": ("mimiciii", [], ("write_mimic_fixture", {})),
     "synthetic": ("synthetic", [], None),
 }
 
@@ -116,7 +121,7 @@ def _metric_rows(results: dict) -> dict:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("dataset", choices=sorted(DATASETS))
+    parser.add_argument("dataset", choices=sorted(DATASETS) + ["all"])
     parser.add_argument("--data-dir", type=Path, default=REPO / "data")
     parser.add_argument("--run-dir", type=Path, default=None,
                         help="training run dir (default <repo>/lightning_logs)")
@@ -137,6 +142,29 @@ def main() -> None:
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s",
                         force=True)
 
+    if args.dataset == "all":
+        # CI-runnable full sweep (VERDICT r3 ask #3): one command that emits
+        # every table2_<dataset>.json.  With --fixture --smoke this proves
+        # the complete Table-2 plumbing end-to-end, so staging the real raw
+        # files is a drop-in (same command, no flags).
+        summaries = {}
+        failures = 0
+        for ds in sorted(DATASETS):
+            sub = argparse.Namespace(**vars(args))
+            sub.dataset = ds
+            sub.out = None  # per-dataset default path in docs/benchmarks/
+            try:
+                summaries[ds] = run_dataset(sub)
+            except Exception as exc:  # keep sweeping; surface at the end
+                logging.exception("[%s] FAILED", ds)
+                summaries[ds] = {"error": f"{type(exc).__name__}: {exc}"}
+                failures += 1
+        print(json.dumps(summaries))
+        sys.exit(1 if failures else 0)
+    print(json.dumps(run_dataset(args)))
+
+
+def run_dataset(args) -> dict:
     group, extra, fixture_writer = DATASETS[args.dataset]
     if args.fixture:
         if fixture_writer is None:
@@ -144,7 +172,8 @@ def main() -> None:
         else:
             import fdtpu.data.fixtures as fixtures
 
-            path = getattr(fixtures, fixture_writer)(args.data_dir)
+            writer_name, writer_kwargs = fixture_writer
+            path = getattr(fixtures, writer_name)(args.data_dir, **writer_kwargs)
             logging.info("wrote %s fixture into %s", args.dataset, path)
 
     if args.smoke:
@@ -268,7 +297,7 @@ def main() -> None:
         }
     out.write_text(json.dumps(payload, indent=2))
     logging.info("wrote %s", out)
-    print(json.dumps(payload.get("summary") or {"ok": True}))
+    return payload.get("summary") or {"ok": True}
 
 
 if __name__ == "__main__":

@@ -111,3 +111,60 @@ def test_diffusion_method_comparison_callback():
     assert set(results) == {"baseline", "cached"}
     assert "speedup_vs_baseline" in results["cached"]
     assert results["cached"]["cache_stats"]["current_step"] == 4
+
+
+def _tiny_model():
+    from fdtpu.diffusion import VPScheduler
+    from fdtpu.models import ScoreModelConfig, init_score_model
+    from fdtpu.models.score_models import ScoreModel
+
+    cfg = ScoreModelConfig(
+        n_channels=1, max_len=16, d_model=8, num_layers=2, n_head=4,
+        dim_feedforward=16,
+    )
+    scheduler = VPScheduler(fourier_noise_scaling=True).with_noise_scaling(16)
+    return ScoreModel(
+        config=cfg,
+        variables=init_score_model(jax.random.PRNGKey(0), cfg),
+        scheduler=scheduler,
+    )
+
+
+def test_freqca_eps_predictor_live_arm():
+    """FreqCa as a live score-level ε̂ predictor (VERDICT r3 ask #4): skips
+    steps, stays finite, and populates the refresh history ring."""
+    from fdtpu.sampling import DiffusionSampler
+
+    model = _tiny_model()
+    sampler = DiffusionSampler(
+        model, 4, use_cache=True,
+        cache_kwargs={
+            "level": "score", "R": 8, "tau_0": 1e9,
+            "eps_predictor": "freqca", "hermite_order": 1, "max_history": 4,
+            "guard": "off",
+        },
+    )
+    x = sampler.sample(4, 40, key=jax.random.PRNGKey(1))
+    assert np.isfinite(x).all()
+    state = sampler.last_cache_state
+    stats = cache_stats(state)
+    assert stats["steps_skipped_ratio"] > 0.5  # tau=inf → skip between refreshes
+    assert int(state.hist_len) >= 2  # ring collected ≥2 refresh observations
+    assert state.crf_high_hist.shape == (4, 4, 16, 1)  # (H, B, T, C)
+
+
+def test_freqca_eps_predictor_validation():
+    from fdtpu.sampling import DiffusionSampler
+    import pytest
+
+    model = _tiny_model()
+    with pytest.raises(ValueError, match="score-level"):
+        DiffusionSampler(
+            model, 4, use_cache=True,
+            cache_kwargs={"level": "token", "eps_predictor": "freqca"},
+        )
+    with pytest.raises(ValueError, match="taylor"):
+        DiffusionSampler(
+            model, 4, use_cache=True,
+            cache_kwargs={"level": "score", "eps_predictor": "typo"},
+        )

@@ -133,6 +133,9 @@ def test_ablation_cache_cli(trained_run, tmp_path):
     )
     assert results["full_e2crf"]["cache_stats"]["current_step"] == 6
     assert "sw_vs_baseline" in results["baseline_rerun_floor"]
+    # FreqCa live ε̂-predictor arms (VERDICT r3 ask #4) ran end-to-end.
+    assert results["freqca_predictor"]["cache_stats"]["current_step"] == 6
+    assert "sw_vs_baseline" in results["freqca_predictor_h1"]
 
 
 def test_sample_cli_reference_style_overrides(trained_run):

@@ -113,3 +113,38 @@ def test_predict_hermite_recovers_polynomial():
     # Beyond-range targets clamp to the boundary value (reference behavior).
     pred_clamped = predict_hermite(feats, ts, jnp.asarray(1.25), order=2)
     np.testing.assert_allclose(pred_clamped, 2.0 * jnp.ones((4, 3)), rtol=1e-3)
+
+
+def test_predict_hermite_valid_mask_ignores_padding():
+    # A fixed-size ring not yet full carries zero-padded rows at the front;
+    # the valid mask must exclude them or they enter the fit as real
+    # observations at t=0 and corrupt the coefficients.
+    ts_live = jnp.array([0.5, 0.75, 1.0])
+    feats_live = jnp.stack([(3 * t - 1) * jnp.ones((2,)) for t in ts_live])
+    ts = jnp.concatenate([jnp.zeros((2,)), ts_live])
+    feats = jnp.concatenate([jnp.zeros((2, 2)), feats_live])
+    valid = jnp.array([False, False, True, True, True])
+    pred = predict_hermite(feats, ts, jnp.asarray(0.875), order=1, valid=valid)
+    np.testing.assert_allclose(pred, (3 * 0.875 - 1) * jnp.ones((2,)), rtol=1e-3)
+    # Without the mask the zero rows drag the fit off the line.
+    bad = predict_hermite(feats, ts, jnp.asarray(0.875), order=1)
+    err_masked = abs(float(pred[0]) - (3 * 0.875 - 1))
+    err_unmasked = abs(float(bad[0]) - (3 * 0.875 - 1))
+    assert err_unmasked > 10 * max(err_masked, 1e-6)
+
+
+def test_predict_hermite_unclipped_extrapolates():
+    # clip_target=False evaluates the fitted polynomial at the TRUE target
+    # beyond the history span (the live FreqCa ε̂-predictor path), instead
+    # of saturating at the span edge like the reference.
+    ts = jnp.array([0.0, 0.25, 0.5, 0.75, 1.0])
+    feats = jnp.stack([(3 * t - 1) * jnp.ones((2,)) for t in ts])
+    pred = predict_hermite(
+        feats, ts, jnp.asarray(1.5), order=1, clip_target=False
+    )
+    np.testing.assert_allclose(pred, (3 * 1.5 - 1) * jnp.ones((2,)), rtol=1e-3)
+    # Traced clip condition also works (hist_len <= order fallback form).
+    pred_clipped = predict_hermite(
+        feats, ts, jnp.asarray(1.5), order=1, clip_target=jnp.asarray(True)
+    )
+    np.testing.assert_allclose(pred_clipped, 2.0 * jnp.ones((2,)), rtol=1e-3)

@@ -85,3 +85,43 @@ def test_results_pipeline(tmp_path):
     assert (out / "quality_time_sliced_wasserstein_mean.png").exists()
     latex = results_to_latex(df2)
     assert "pm" in latex or "0.1" in latex
+
+
+def test_model_comparison_grids(tmp_path):
+    """Multi-domain sample-comparison grids (reference visualize.py:80-206,
+    316-346): freq + time runs + training data, line and heatmap variants."""
+    from fdtpu.viz import load_samples, visualize_model_comparison
+
+    runs = tmp_path / "runs"
+    rng = np.random.RandomState(0)
+    for run_id in ("freq_run", "time_run"):
+        run = runs / run_id
+        run.mkdir(parents=True)
+        np.save(run / "samples.npy", rng.randn(12, 30, 2).astype(np.float32))
+        with open(run / "train_config.yaml", "w") as f:
+            yaml.safe_dump(
+                {
+                    "datamodule": {
+                        "name": "synthetic",
+                        "data_dir": str(tmp_path / "data"),
+                        "max_len": 30,
+                        "num_samples": 16,
+                        "batch_size": 4,
+                        "fourier_transform": False,
+                        "standardize": False,
+                    },
+                },
+                f,
+            )
+
+    model_ids = {"freq": "freq_run", "time": "time_run"}
+    loaded = load_samples(model_ids, runs, include_train=True, random_seed=0)
+    assert set(loaded) == {"freq", "time", "train"}
+    assert loaded["train"].shape[1] == 30
+
+    paths = visualize_model_comparison(
+        model_ids, runs, tmp_path / "out", dataset_name="synthetic", n_samples=3
+    )
+    names = {p.name for p in paths}
+    assert names == {"synthetic_samples_line.png", "synthetic_samples_heatmap.png"}
+    assert all(p.exists() for p in paths)
