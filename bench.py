@@ -31,12 +31,20 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import os
+
 import jax
 
 # Persistent compilation cache: the T=1000 scan compile is expensive on the
-# first run; later runs hit the cache.
+# first run; later runs hit the cache.  FDTPU_JAX_CACHE_DIR overrides the
+# location (e.g. a throwaway dir to force a fresh compile — the protocol
+# for guard-robustness proof runs, since XLA fusion differs across
+# compiles and trajectories amplify it).
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/fdtpu_jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("FDTPU_JAX_CACHE_DIR", "/tmp/fdtpu_jax_cache"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
@@ -49,9 +57,14 @@ REFERENCE_AVG_SPEEDUP = 3.2  # paper §4.1: 2.1–4.3× across 5 datasets (CPU)
 # skipped with the cached samples' SW distance to the uncached run well below
 # the independent-run noise floor AND the error-budget guard silent.  From
 # the headline-protocol τ₀ frontier (docs/benchmarks/tau_headline.json,
-# T=1000, n=512): τ₀=1.2 → SW 0.325 vs floor 0.581 with guard err_max 3.09;
-# τ₀=1.35 already trips the guard (err_max 4.21) and τ₀=1.5 crosses the
-# floor (SW 0.754).
+# T=1000): τ₀=1.2 stays inside the floor with margin; τ₀=1.5 crosses it.
+# Guard robustness: this exact arm was calibrated across three
+# independently trained flagships × T ∈ {500, 1000}
+# (docs/benchmarks/guard_demo_v2.json headline_tau1.2_R100: worst-span
+# ≤2.3, mean ≤1.7 against tolerances 4.0 / 2.5) with the
+# refresh-phase-invariant statistic — the round-3 guard firing was an
+# end-of-trajectory denominator artifact, mechanism in
+# scripts/diagnose_guard.py.
 CACHE_KWARGS = {"level": "score", "R": 100, "tau_0": 1.2, "eps_order": 1}
 
 

@@ -127,19 +127,38 @@ class E2CRFConfig:
     # relative extrapolation error over the span it just closed and compares
     # it with the predicted budget.  ``guard`` controls the post-sample
     # response: "warn" (default) emits a warning, "strict" raises,
-    # "off" disables.  Flagged when the MEAN realized error exceeds
-    # ``guard_abs_tol``, the WORST span exceeds ``guard_max_tol``, or
-    # realized/predicted exceeds ``guard_overrun_tol``.  Thresholds are
-    # calibrated on a trained flagship across the documented safe and
-    # collapsing operating points (docs/benchmarks/guard_demo.json): safe
-    # arms realize mean ≤1.2 / max ≤2.1, collapsing or degraded arms
-    # mean ≥1.7 or max ≥4.8 — per-span MEAN error alone does not separate
-    # them (a loose budget realizes moderate error on EVERY span and still
-    # destroys the trajectory), the worst-span max does.
+    # "off" disables.  Flagged when the WORST span exceeds
+    # ``guard_max_tol``, the MEAN realized error exceeds ``guard_abs_tol``,
+    # or realized/predicted exceeds ``guard_overrun_tol``.  Thresholds are
+    # calibrated across THREE independently trained flagships × T ∈
+    # {500, 1000} (docs/benchmarks/guard_demo_v2.json), with ground truth
+    # per run (model quality varies 4× across training seeds, so "bad" is
+    # SW > 2× that model's own noise floor): score-level collapse spikes
+    # the worst span (≥4.2 when quality is >2× floor; safe arms ≤2.3).
+    # The per-span MEAN tracks model smoothness, not collapse (weaker
+    # seeds run mean 1.6–2.1 at within-floor operating points), so it is
+    # only a loose backstop.  ε̂-norm statistics (peak / unit-scale /
+    # cold-relative growth, exposed in cache_stats) were measured and
+    # REJECTED as detectors: LayerNorm bounds the score net's output so
+    # collapse inflates ε̂ only mildly, and weak models legitimately grow
+    # 1.6–2.0× — total overlap.  Token-level cumulative collapse is only
+    # observable if the policy AUDITS stale tokens: set
+    # ``random_probe_ratio`` > 0 (free — probes ride the same
+    # token_budget) so TOPK refreshes measure genuinely stale rows.
     guard: str = "warn"  # "warn" | "strict" | "off"
     guard_overrun_tol: float = 5.0
-    guard_abs_tol: float = 1.5
+    # 0.0 = auto: 2.5 at score/kv level (weak models run per-span means up
+    # to ~2.1 on within-floor operating points), 1.5 at token level (the
+    # TOPK audit's per-measurement MEDIAN keeps safe arms ≤0.85 while
+    # collapse reads ≥2.0 — guard_demo_v2.json probed arms).
+    guard_abs_tol: float = 0.0
     guard_max_tol: float = 4.0
+
+    @property
+    def resolved_guard_abs_tol(self) -> float:
+        if self.guard_abs_tol:
+            return self.guard_abs_tol
+        return 1.5 if self.level == "token" else 2.5
     # Closed-loop τ₀ auto-calibration: scale the effective skip budget by
     # the high-water mark of the realized/predicted overrun, so a
     # collapsing configuration tightens itself (from the second sample
@@ -159,7 +178,7 @@ class E2CRFConfig:
             tau_0=jnp.asarray(self.tau_0, jnp.float32),
             tau_warn=jnp.asarray(self.tau_warn, jnp.float32),
             random_probe_ratio=jnp.asarray(self.random_probe_ratio, jnp.float32),
-            guard_abs_tol=jnp.asarray(self.guard_abs_tol, jnp.float32),
+            guard_abs_tol=jnp.asarray(self.resolved_guard_abs_tol, jnp.float32),
         )
 
     def static_key(self) -> tuple:
@@ -253,6 +272,10 @@ class CacheState(struct.PyTreeNode):
     # moved it 3.1 → 20.5 between identical-seed runs (BENCH_r03 guard
     # firing).  Scalar at score level, per-token (T,) at token level.
     eps_norm_ref: Array
+    # The COLD refresh's ε̂ norm (t=1, x = pure prior noise) — each
+    # model's own baseline scale, so growth = ref/cold is comparable
+    # across models of different quality (same shape as eps_norm_ref).
+    eps_norm_cold: Array
 
 
 def init_cache_state(
@@ -334,6 +357,9 @@ def init_cache_state(
         guard_measurements=zero,
         overrun=jnp.ones((), dtype),
         eps_norm_ref=jnp.zeros(
+            (max_len,) if cfg.level == "token" else (), dtype
+        ),
+        eps_norm_cold=jnp.zeros(
             (max_len,) if cfg.level == "token" else (), dtype
         ),
     )
@@ -701,4 +727,41 @@ def cache_stats(state: CacheState) -> dict[str, Any]:
             else 0.0
         ),
         "overrun_mark": float(state.overrun),
+        # High-water mark of the refresh-time ε̂ norm (max over tokens at
+        # the token level).  ε̂ predicts ~unit noise, so a healthy
+        # trajectory's peak sits near √(norm numel) and the normalized
+        # scale near 1; a trajectory drifting off-manifold (cumulative
+        # extrapolation bias — the collapse mode invisible to per-span
+        # telemetry) inflates it.
+        "eps_norm_peak": float(jnp.max(state.eps_norm_ref)),
+        "eps_norm_scale": _eps_norm_scale(state),
+        # Peak growth over each model's OWN cold-refresh baseline (t=1,
+        # pure prior noise): comparable across models of different quality
+        # where the absolute scale is not.
+        "eps_norm_growth": float(
+            jnp.max(
+                jnp.where(
+                    state.eps_norm_cold > 0,
+                    state.eps_norm_ref / jnp.maximum(state.eps_norm_cold, 1e-6),
+                    0.0,
+                )
+            )
+        )
+        if state.eps_norm_cold.size
+        else 0.0,
     }
+
+
+def _eps_norm_scale(state: CacheState) -> float:
+    """Peak refresh-time ε̂ norm relative to the unit-noise expectation.
+
+    Score level norms over the whole (B, T, C) tensor; token level norms
+    per token over (B, C) — the expectation is √(numel of whatever was
+    normed)."""
+    peak = float(jnp.max(state.eps_norm_ref))
+    if state.eps_hat.size == 0 or peak == 0.0:
+        return 0.0
+    numel = state.eps_hat.size
+    if state.eps_norm_ref.ndim == 1:  # token level: per-token over (B, C)
+        numel = numel // state.eps_norm_ref.shape[0]
+    return peak / float(numel) ** 0.5

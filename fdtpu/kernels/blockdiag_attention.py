@@ -75,7 +75,8 @@ def _softmax_av(weights_exp, vbd, *, n_head: int, head_dim: int):
 
 
 def _bd_kernel(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
-               n_head: int, head_dim: int, seq: int, t_pad: int, scale: float):
+               n_head: int, head_dim: int, seq: int, t_pad: int, scale: float,
+               shift: bool = True):
     j = pl.program_id(1)
     d = n_head * head_dim
 
@@ -112,7 +113,7 @@ def _bd_kernel(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
     ) * scale  # (TQ, H·T'); padded/unwritten key columns score exactly 0
 
     s3 = scores.reshape(tq, n_head, t_pad)
-    w3 = jnp.exp(s3 - jnp.max(s3, axis=-1, keepdims=True))
+    w3 = jnp.exp(s3 - jnp.max(s3, axis=-1, keepdims=True)) if shift else jnp.exp(s3)
     out = _softmax_av(
         w3.reshape(tq, n_head * t_pad), vbd_ref[:],
         n_head=n_head, head_dim=head_dim,
@@ -122,7 +123,7 @@ def _bd_kernel(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
 
 def _bd_kernel_batch(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
                      n_head: int, head_dim: int, seq: int, t_pad: int,
-                     scale: float):
+                     scale: float, shift: bool = True):
     """Batch-tiled variant: whole (unpadded) query range per cell, several
     batch elements per cell for cross-element pipelining."""
     bt = q_ref.shape[0]
@@ -151,7 +152,11 @@ def _bd_kernel_batch(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
             preferred_element_type=jnp.float32,
         ) * scale
         s3 = scores.reshape(seq, n_head, t_pad)
-        w3 = jnp.exp(s3 - jnp.max(s3, axis=-1, keepdims=True))
+        # shift=False drops the per-block max pass (one of the two
+        # remaining VPU passes): exp(s) directly is exact in fp32 while
+        # max|s| stays ≪ 88 — validated against the shifted kernel on the
+        # trained flagship before use (docs/benchmarks/noshift_exp.json).
+        w3 = jnp.exp(s3 - jnp.max(s3, axis=-1, keepdims=True)) if shift else jnp.exp(s3)
         out = _softmax_av(
             w3.reshape(seq, n_head * t_pad), vbd_ref[:],
             n_head=n_head, head_dim=head_dim,
@@ -159,9 +164,10 @@ def _bd_kernel_batch(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
         o_ref[b] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("q_tile", "interpret", "shift"))
 def blockdiag_mha(
-    q: Array, k: Array, v: Array, q_tile: int = 256, interpret: bool = False
+    q: Array, k: Array, v: Array, q_tile: int = 256, interpret: bool = False,
+    shift: bool = True,
 ) -> Array:
     """Fused block-diagonal attention.
 
@@ -170,6 +176,10 @@ def blockdiag_mha(
         k: ``(B, H, Dh, T)`` — per-head transposed keys.
         v: ``(B, H, T, Dh)`` — per-head values.
         q_tile: query rows per grid cell in the long-sequence regime.
+        shift: subtract the per-block max before exp (standard softmax
+            stabilization).  ``False`` drops that VPU pass — only safe
+            when the model's attention logits are bounded well below the
+            fp32 exp overflow (~88); see the noshift experiment notes.
 
     Returns:
         ``(B, T, D)`` merged attention output.
@@ -196,7 +206,7 @@ def blockdiag_mha(
         pltpu.VMEM((h * t_pad, d + h), q.dtype),
     ]
     common = dict(n_head=h, head_dim=dh, seq=t, t_pad=t_pad,
-                  scale=1.0 / math.sqrt(dh))
+                  scale=1.0 / math.sqrt(dh), shift=shift)
 
     bt = 2 if b % 2 == 0 else 1
     if batch_vmem(bt) <= budget or batch_vmem(bt := 1) <= budget:
@@ -389,22 +399,25 @@ def blockdiag_mha_bwd(
     )(q, k, v, g)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def blockdiag_mha_trainable(q: Array, k: Array, v: Array, q_tile: int = 256) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def blockdiag_mha_trainable(
+    q: Array, k: Array, v: Array, q_tile: int = 256, shift: bool = True
+) -> Array:
     """Differentiable wrapper: fused Pallas forward AND backward.
 
     The backward re-derives the attention weights inside the same
     block-diagonal packing (five full-width MXU matmuls) instead of paying
     XLA recomputation over 5·H per-head dots; long sequences that exceed
-    VMEM fall back to the XLA reference VJP."""
-    return blockdiag_mha(q, k, v, q_tile=q_tile)
+    VMEM fall back to the XLA reference VJP.  ``shift`` only affects the
+    forward (the backward's softmax recompute is shift-invariant)."""
+    return blockdiag_mha(q, k, v, q_tile=q_tile, shift=shift)
 
 
-def _bd_fwd(q, k, v, q_tile):
-    return blockdiag_mha(q, k, v, q_tile=q_tile), (q, k, v)
+def _bd_fwd(q, k, v, q_tile, shift):
+    return blockdiag_mha(q, k, v, q_tile=q_tile, shift=shift), (q, k, v)
 
 
-def _bd_bwd(q_tile, residuals, g):
+def _bd_bwd(q_tile, shift, residuals, g):
     q, k, v = residuals
     return blockdiag_mha_bwd(q, k, v, g)
 

@@ -219,7 +219,7 @@ def encoder_layer_apply(
         k = jnp.where(m, k_fresh, kv_cache[0])
         v = jnp.where(m, v_fresh, kv_cache[1])
     else:  # MODE_FULL
-        if attention_impl == "blockdiag":
+        if attention_impl in ("blockdiag", "blockdiag_noshift"):
             # Block-diagonal fused kernel: project straight into its layouts
             # (head-major K^T / V) so the relayout fuses into the matmuls.
             from fdtpu.kernels.blockdiag_attention import blockdiag_mha_trainable
@@ -237,7 +237,11 @@ def encoder_layer_apply(
             v2 = jnp.einsum("btd,dhe->bhte", x, wv) + bias[2 * d:].reshape(
                 n_head, dh
             )[None, :, None, :]
-            attn_out = blockdiag_mha_trainable(q2, k2, v2)
+            # "blockdiag_noshift" drops the softmax max-subtraction VPU
+            # pass — forward-only experiment, safe iff logits ≪ 88.
+            attn_out = blockdiag_mha_trainable(
+                q2, k2, v2, 256, attention_impl != "blockdiag_noshift"
+            )
             attn_out = attn_out @ p["attn"]["out_w"] + p["attn"]["out_b"]
             x = _layer_norm(
                 x + _maybe_dropout(attn_out, dropout, train, dk[0]), p["ln1"], ln_eps

@@ -83,7 +83,7 @@ def _shard_cache_state(mesh, state: CacheState) -> CacheState:
             "recompute_count", "cache_hit_count", "full_steps", "mixed_steps",
             "cached_steps", "realized_err_sum", "predicted_err_sum",
             "realized_err_max", "guard_measurements", "overrun",
-            "eps_norm_ref",
+            "eps_norm_ref", "eps_norm_cold",
         )
     }
     return state.replace(
@@ -373,6 +373,10 @@ def _sample_chain_impl(
                 )
             c = c.replace(
                 eps_norm_ref=norm_ref,
+                eps_norm_cold=jnp.where(
+                    is_cold, denom.astype(c.eps_norm_cold.dtype),
+                    c.eps_norm_cold,
+                ),
                 cold=jnp.zeros((), bool),
                 eps_prev2=jnp.where(is_cold, eps_new, c.eps_prev),
                 eps_gap2=jnp.where(is_cold, jnp.zeros((), x.dtype), c.eps_gap),
@@ -470,9 +474,8 @@ def _sample_chain_impl(
                 jnp.ones((max_len,), bool), 0,  # MODE_FULL
             )
             eps_new = -stdc * score
-            norm_ref = jnp.maximum(
-                c.eps_norm_ref, _tok_norms(eps_new).astype(c.eps_norm_ref.dtype)
-            )
+            tok_norms = _tok_norms(eps_new).astype(c.eps_norm_ref.dtype)
+            norm_ref = jnp.maximum(c.eps_norm_ref, tok_norms)
             rate = jnp.where(
                 c.cold,
                 jnp.zeros((max_len,), jnp.float32),
@@ -497,6 +500,7 @@ def _sample_chain_impl(
                 last_tok=jnp.full_like(c.last_tok, c.step),
                 delta_tok=rate,
                 eps_norm_ref=norm_ref,
+                eps_norm_cold=jnp.where(c.cold, tok_norms, c.eps_norm_cold),
                 err_acc=jnp.zeros((), c.err_acc.dtype),
                 last_full_step=c.step,
                 cold=jnp.zeros((), bool),
@@ -537,6 +541,32 @@ def _sample_chain_impl(
             rate_rows = _tok_residual_rate(
                 eps_rows, pred_rows, age_rows, ref_rows
             ).astype(c.delta_tok.dtype)
+            # Guard telemetry at TOPK steps: the realized extrapolation
+            # error of the rows being refreshed (rate × age undoes the
+            # per-step normalization).  Without this, stale-token error is
+            # structurally unobservable — the policy only measures tokens
+            # it CHOSE to recompute, so a cumulative-bias collapse of the
+            # starved tokens never reaches the telemetry
+            # (guard_demo_v2.json: token τ₀=3 at SW 50× floor with every
+            # per-span statistic in the safe range).  Random probes
+            # (random_probe_ratio, within the same token budget) audit
+            # stale tokens; this records what the audit finds.
+            # MEDIAN over the audited rows, not mean: a safe configuration
+            # occasionally refreshes one ancient row whose order-1
+            # extrapolation diverged harmlessly (worst-span 6× spikes on
+            # within-floor arms in guard_demo_v2), while a collapsing one
+            # has MOST audited rows diverged — the median separates where
+            # the mean conflates.
+            c = record_guard_measurement(
+                c,
+                (~c.cold) & (jnp.max(age_rows) > 1),
+                jnp.median(
+                    rate_rows.astype(jnp.float32)
+                    * jnp.maximum(age_rows.astype(jnp.float32), 1.0)
+                ),
+                c.err_acc,
+                pp.guard_abs_tol,
+            )
 
             eps_full = eps_pred.at[:, idx].set(eps_rows)
             score = -eps_full / stdc
@@ -1067,7 +1097,7 @@ class DiffusionSampler:
         worst = stats["realized_err_max"]
         if (
             overrun <= cfg.guard_overrun_tol
-            and realized <= cfg.guard_abs_tol
+            and realized <= cfg.resolved_guard_abs_tol
             and worst <= cfg.guard_max_tol
         ):
             return
@@ -1077,11 +1107,13 @@ class DiffusionSampler:
             f"{stats['guard_measurements']} refreshes, "
             f"{overrun:.1f}x the predicted budget) is in the "
             f"distribution-collapse regime (tolerances: mean "
-            f"{cfg.guard_abs_tol}, max {cfg.guard_max_tol}, overrun "
+            f"{cfg.resolved_guard_abs_tol}, max {cfg.guard_max_tol}, overrun "
             f"{cfg.guard_overrun_tol}; calibration in "
-            "docs/benchmarks/guard_demo.json). Lower tau_0 and/or R, or "
-            "set cache_kwargs={'auto_calibrate': True} to tighten the "
-            "budget automatically. Set guard='off' to silence."
+            "docs/benchmarks/guard_demo_v2.json). Lower tau_0 and/or R, "
+            "or set cache_kwargs={'auto_calibrate': True} to tighten the "
+            "budget automatically. Set guard='off' to silence. "
+            "Token-level configs: set random_probe_ratio > 0 so stale "
+            "tokens are audited (collapse there is otherwise silent)."
         )
         if cfg.guard == "strict":
             raise RuntimeError(msg)

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Shift-free softmax exp in the blockdiag kernel: measure, accept/reject.
+
+VERDICT r3 ask #8 (stretch): the fused-denominator kernel's remaining time
+splits ~equally between the exp/max VPU passes and MXU pipeline latency.
+``shift=False`` drops the per-block max-subtraction pass (one of the two
+VPU passes).  fp32 ``exp`` overflows at ~88, so this is safe only while
+attention logits stay well below that.  Protocol, on the TRAINED flagship:
+
+1. Numerics: uncached T=1000 chains with the shifted vs shift-free kernel
+   at the same key — max |Δ| of final samples, SW between the two sample
+   sets vs the independent-key noise floor, finiteness (an overflow at any
+   of the 1000 steps propagates NaN to the output, so chain-level
+   equivalence bounds every intermediate logit away from overflow for this
+   model + data).
+2. Throughput: median-of-repeats uncached samples/s/chip for both kernels
+   at the bench protocol (resident 4×128 dispatch).
+
+Writes docs/benchmarks/noshift_exp.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fdtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+import dataclasses
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=25)
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--bpc", type=int, default=4)
+    args = parser.parse_args()
+
+    import bench
+
+    from fdtpu.metrics import SlicedWasserstein
+    from fdtpu.sampling import DiffusionSampler
+
+    model = bench.build_model(max_len=187, trained=True, epochs=args.epochs)
+    n = args.batch * args.bpc
+
+    samplers = {}
+    for name, impl in (("shifted", "blockdiag"), ("noshift", "blockdiag_noshift")):
+        m = dataclasses.replace(model.config, attention_impl=impl)
+        model_v = type(model)(
+            config=m, variables=model.variables, scheduler=model.scheduler,
+            num_training_steps=model.num_training_steps,
+        )
+        samplers[name] = DiffusionSampler(
+            model_v, sample_batch_size=args.batch, batches_per_call=args.bpc
+        )
+
+    # --- numerics
+    s_shift = samplers["shifted"].sample(n, args.steps, key=jax.random.PRNGKey(1))
+    s_noshift = samplers["noshift"].sample(n, args.steps, key=jax.random.PRNGKey(1))
+    s_floor = samplers["shifted"].sample(n, args.steps, key=jax.random.PRNGKey(99))
+    finite = bool(np.isfinite(s_noshift).all())
+    max_abs = float(np.max(np.abs(s_shift - s_noshift))) if finite else float("inf")
+    sw = SlicedWasserstein(
+        original_samples=s_shift, random_seed=42, num_directions=200
+    )
+    sw_pair = float(sw(s_noshift)["sliced_wasserstein_mean"]) if finite else None
+    sw_floor = float(sw(s_floor)["sliced_wasserstein_mean"])
+
+    # --- throughput (only meaningful if numerics hold)
+    timings = {}
+    for name, sampler in samplers.items():
+        _, sps = bench.measure(sampler, n, args.steps, jax.random.PRNGKey(1))
+        timings[name] = sps
+        print(f"{name:<8} {sps:.2f} samples/s/chip", file=sys.stderr)
+
+    speedup = timings["noshift"] / timings["shifted"]
+    accepted = finite and (sw_pair is not None and sw_pair <= sw_floor) and (
+        speedup >= 1.02
+    )
+    payload = {
+        "protocol": {
+            "steps": args.steps, "batch": args.batch, "bpc": args.bpc,
+            "epochs": args.epochs,
+        },
+        "numerics": {
+            "finite": finite,
+            "max_abs_final_sample_delta": max_abs,
+            "sw_noshift_vs_shifted": sw_pair,
+            "sw_noise_floor": sw_floor,
+        },
+        "throughput_samples_per_s_chip": timings,
+        "noshift_speedup": speedup,
+        "accepted": accepted,
+    }
+    out = REPO / "docs" / "benchmarks" / "noshift_exp.json"
+    out.write_text(json.dumps(payload, indent=2))
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

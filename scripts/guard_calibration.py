@@ -59,6 +59,23 @@ ARMS = [
         {"level": "token", "token_budget": 24, "R": 100, "tau_0": 0.5},
         "safe",
     ),
+    # Probed variants: random probes (same token_budget — free) audit
+    # stale tokens, and the TOPK guard measurement records what the audit
+    # finds.  Without probes the token-level cumulative-bias collapse is
+    # structurally invisible to per-span telemetry (every statistic of the
+    # unprobed τ₀=3 arm sits in the safe range at SW 50× floor).
+    (
+        "token_tau3_b24_probed",
+        {"level": "token", "token_budget": 24, "R": 100, "tau_0": 3.0,
+         "random_probe_ratio": 0.05},
+        "collapse",
+    ),
+    (
+        "token_tau0.5_b24_probed",
+        {"level": "token", "token_budget": 24, "R": 100, "tau_0": 0.5,
+         "random_probe_ratio": 0.05},
+        "safe",
+    ),
     (
         "auto_calibrate_tau5",
         {"level": "score", "R": 20, "tau_0": 5.0, "auto_calibrate": True},
@@ -108,6 +125,9 @@ def run_suite(model, batch: int, steps: int, arms, sw_floor_samples=None):
             "predicted_err_mean": stats["predicted_err_mean"],
             "budget_overrun_ratio": stats["budget_overrun_ratio"],
             "overrun_mark": stats["overrun_mark"],
+            "eps_norm_peak": stats["eps_norm_peak"],
+            "eps_norm_scale": stats["eps_norm_scale"],
+            "eps_norm_growth": stats["eps_norm_growth"],
             "guard_measurements": stats["guard_measurements"],
             "full_steps": stats["full_steps"],
         }
@@ -147,21 +167,31 @@ def run_suite(model, batch: int, steps: int, arms, sw_floor_samples=None):
     return floor, payload
 
 
-def confusion_summary(arms: dict) -> dict:
+def confusion_summary(arms: dict, floor: float) -> dict:
+    """Detector confusion vs MEASURED quality on this model.
+
+    The static ``expected`` labels came from the seed-42 frontier; model
+    quality varies ~4× across training seeds (the SW floor is 1.0 on seed
+    42 vs 3.3–4.0 on seeds 43/44), so an arm that collapses one model can
+    be within another's noise floor.  Ground truth here is each run's own
+    floor: bad = SW > 2×floor (must flag), good = SW ≤ 1.5×floor (must
+    stay silent), in between is borderline either way."""
+    bad = {k: a for k, a in arms.items() if a["sw_vs_uncached"] > 2 * floor}
+    good = {
+        k: a for k, a in arms.items() if a["sw_vs_uncached"] <= 1.5 * floor
+    }
     return {
-        "collapse_caught": all(
-            a["guard_flagged"] for a in arms.values()
-            if a["expected"] in ("collapse", "degraded")
-        ),
-        "safe_clean": all(
-            not a["guard_flagged"] for a in arms.values()
-            if a["expected"] == "safe" and not a["sw_collapsed"]
-        ),
+        "bad_missed": [k for k, a in bad.items() if not a["guard_flagged"]],
+        "false_alarms": [k for k, a in good.items() if a["guard_flagged"]],
+        "borderline": [k for k in arms if k not in bad and k not in good],
+        "bad_caught": all(a["guard_flagged"] for a in bad.values()),
+        "safe_clean": all(not a["guard_flagged"] for a in good.values()),
         "auto_calibrate_rescued_second_batch": (
             arms["auto_calibrate_tau5"]["second_batch"]["sw_vs_uncached"]
             < 0.5 * arms["score_tau5_R20"]["sw_vs_uncached"]
             if "auto_calibrate_tau5" in arms
             and "score_tau5_R20" in arms
+            and arms["score_tau5_R20"]["sw_vs_uncached"] > 2 * floor
             else None
         ),
     }
@@ -204,16 +234,27 @@ def main() -> None:
                 key = f"seed{seed}_T{steps}"
                 print(f"=== {key} ===", file=sys.stderr)
                 floor, run_arms = run_suite(model, args.batch, steps, arms)
+                # Merge with any existing arms for this run (subset reruns
+                # via --arms must not clobber the full sweep's entries).
+                merged = {
+                    **payload["runs"].get(key, {}).get("arms", {}),
+                    **run_arms,
+                }
                 payload["runs"][key] = {
-                    "sw_noise_floor": floor, "arms": run_arms,
-                    "summary": confusion_summary(run_arms),
+                    "sw_noise_floor": floor, "arms": merged,
+                    "summary": confusion_summary(merged, floor),
                 }
                 out.write_text(json.dumps(payload, indent=2))
         # Per-arm spread across runs: the error bars the thresholds must
         # clear (safe arms' max stays below guard_max_tol with margin;
         # collapse/degraded arms' min stays above some threshold).
         spread: dict[str, dict] = {}
-        for name, _, expected in arms:
+        expected_by_name = {name: exp for name, _, exp in ARMS}
+        all_names = sorted(
+            {n for r in payload["runs"].values() for n in r["arms"]}
+        )
+        for name in all_names:
+            expected = expected_by_name.get(name, "?")
             vals = [
                 r["arms"][name] for r in payload["runs"].values()
                 if name in r["arms"]
@@ -239,8 +280,8 @@ def main() -> None:
             }
         payload["per_arm_spread"] = spread
         payload["summary"] = {
-            "all_runs_collapse_caught": all(
-                r["summary"]["collapse_caught"] for r in payload["runs"].values()
+            "all_runs_bad_caught": all(
+                r["summary"]["bad_caught"] for r in payload["runs"].values()
             ),
             "all_runs_safe_clean": all(
                 r["summary"]["safe_clean"] for r in payload["runs"].values()
@@ -262,7 +303,7 @@ def main() -> None:
                    "batch": args.batch, "sw_noise_floor": floor},
         "arms": {**existing, **run_arms},
     }
-    payload["summary"] = confusion_summary(payload["arms"])
+    payload["summary"] = confusion_summary(payload["arms"], floor)
     out.write_text(json.dumps(payload, indent=2))
     print(json.dumps(payload["summary"]))
 

@@ -146,3 +146,24 @@ def test_kv_event_degenerate_tau_warns():
             model, sample_batch_size=4, use_cache=True,
             cache_kwargs={"level": "kv", "policy": "event", "tau_0": 0.1},
         )
+
+
+def test_guard_relative_error_floors_denominator():
+    """End-of-trajectory ε̂-norm shrinkage must not inflate the guard
+    statistic: with trajectory scale 154 and an instantaneous norm of 0.6
+    (the diagnosed BENCH_r03 spike), a 12.5 absolute error reads as ~0.8
+    relative to the floored denominator instead of ~20."""
+    import jax.numpy as jnp
+
+    from fdtpu.cache.e2crf import GUARD_NORM_FLOOR_FRAC, guard_relative_error
+
+    ref = jnp.asarray(154.0)
+    # Healthy denominator: floor inactive, plain ratio.
+    healthy = float(
+        guard_relative_error(jnp.asarray(30.0), jnp.asarray(150.0), ref)
+    )
+    assert abs(healthy - 30.0 / 150.0) < 1e-6
+    # Collapsed denominator: floored at 10% of the trajectory scale.
+    rel = float(guard_relative_error(jnp.asarray(12.5), jnp.asarray(0.61), ref))
+    assert abs(rel - 12.5 / (GUARD_NORM_FLOOR_FRAC * 154.0)) < 1e-6
+    assert rel < 1.0  # the 20.5 spike regime is gone

@@ -127,8 +127,8 @@ def test_blockdiag_model_forward_matches_einsum():
 
     orig = bda.blockdiag_mha
 
-    def interp(q, k, v, q_tile=256, interpret=False):
-        return orig(q, k, v, q_tile=q_tile, interpret=True)
+    def interp(q, k, v, q_tile=256, interpret=False, shift=True):
+        return orig(q, k, v, q_tile=q_tile, interpret=True, shift=shift)
 
     bda.blockdiag_mha = interp
     try:
@@ -154,8 +154,8 @@ def test_blockdiag_trainable_gradients():
 
     orig = bda.blockdiag_mha
     orig_bwd = bda.blockdiag_mha_bwd
-    bda.blockdiag_mha = lambda q, k, v, q_tile=256, interpret=False: orig(
-        q, k, v, q_tile=q_tile, interpret=True
+    bda.blockdiag_mha = lambda q, k, v, q_tile=256, interpret=False, shift=True: orig(
+        q, k, v, q_tile=q_tile, interpret=True, shift=shift
     )
     bda.blockdiag_mha_bwd = lambda q, k, v, g, interpret=False: orig_bwd(
         q, k, v, g, interpret=True
@@ -262,3 +262,17 @@ def test_blockdiag_kernel_extreme_negative_scores_no_nan():
 
     ref2 = blockdiag_mha_reference(q2, k2, v)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-4)
+
+
+def test_blockdiag_noshift_matches_shifted_interpret():
+    """shift=False (no per-block max subtraction) is exact while logits are
+    bounded — same weights, denominator, and output as the shifted kernel."""
+    from fdtpu.kernels import blockdiag_attention as bda
+
+    B, T, H, Dh = 2, 16, 2, 6
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H * Dh))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, Dh, T))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, Dh))
+    a = bda.blockdiag_mha(q, k, v, interpret=True)
+    b = bda.blockdiag_mha(q, k, v, interpret=True, shift=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -177,3 +177,25 @@ def test_token_level_cache_state_allocation():
     assert state.gap_tok.shape == (20,)
     assert state.last_tok.shape == (20,)
     assert state.crf_prev.shape == (0,)  # kv-level only
+
+
+def test_topk_steps_feed_guard_telemetry():
+    """TOPK refreshes record guard measurements (the stale-token audit):
+    without them, token-level cumulative collapse is structurally
+    invisible — the policy only measures tokens it chose to recompute
+    (guard_demo_v2.json).  With τ₀=0 every non-full step is TOPK, so the
+    measurement count must exceed what full refreshes alone provide."""
+    model = _model()
+    sampler = DiffusionSampler(
+        model, sample_batch_size=4, use_cache=True,
+        cache_kwargs={
+            "level": "token", "token_budget": 4, "tau_0": 0.0, "R": 20,
+            "random_probe_ratio": 0.1, "guard": "off",
+        },
+    )
+    sampler.sample(4, 30, key=jax.random.PRNGKey(6))
+    stats = sampler.get_cache_stats()
+    assert stats["mixed_steps"] > 0
+    # full-refresh measurements alone would be ≤ full_steps; the TOPK
+    # audit contributes the rest.
+    assert stats["guard_measurements"] > stats["full_steps"]
