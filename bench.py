@@ -250,11 +250,15 @@ def main() -> None:
         mw = MarginalWasserstein(original_samples=s_base, random_seed=42)
         mw_floor = mw(s_base2)["marginal_wasserstein_mean"]
         mw_cached = mw(s_ca)["marginal_wasserstein_mean"]
-        mw_delta = abs(mw_cached - mw_floor)
+        # Signed like sw_delta_vs_floor: negative = cached is CLOSER to the
+        # uncached run than a second independent uncached run (i.e. within
+        # the finite-sample floor).  abs() here used to make "0.55 below the
+        # floor" read identically to "0.55 above".
+        mw_delta = mw_cached - mw_floor
         quality = (
             f" | SW(cached,uncached) {delta:.3f} vs floor {floor:.3f} @n={n_q}"
             f" | delta CI95 [{ci_lo:+.3f}, {ci_hi:+.3f}]"
-            f" | MW delta vs floor {mw_delta:.4f}"
+            f" | MW delta vs floor {mw_delta:+.4f}"
         )
         quality_record = {
             "quality_n": n_q,

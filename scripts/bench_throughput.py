@@ -60,6 +60,10 @@ def measure(sampler, n, steps, min_total_s=12.0, max_repeats=10):
 # against the bf16 peak for BOTH dtypes — the honest convention given fp32
 # matmuls also execute on the (bf16) MXU via multi-pass.
 V5E_PEAK_FLOPS = 197e12
+# Epoch count for every timed training fit.  Single-sourced so the
+# consumed-sample count (TIMED_EPOCHS * len(dm.X_train)) can never silently
+# diverge from the Trainer(max_epochs=...) that actually ran (VERDICT r3 #6).
+TIMED_EPOCHS = 2
 
 
 def forward_flops(d_model: int, n_head: int, num_layers: int,
@@ -203,7 +207,7 @@ def bench_frontier(args) -> None:
         ("einsum", "float32", "einsum_fp32", {}),
         ("blockdiag", "bfloat16", "blockdiag_bf16", {}),
         ("blockdiag", "bfloat16", "blockdiag_bf16_resident",
-         {"epochs_per_call": 2}),
+         {"epochs_per_call": TIMED_EPOCHS}),
     ):
         for batch in (64, 128, 256, 512):
             name = f"train_{short}_b{batch}"
@@ -226,17 +230,17 @@ def bench_frontier(args) -> None:
                     config=cfg,
                     variables=init_score_model(jax.random.PRNGKey(0), cfg),
                     scheduler=scheduler,
-                    num_training_steps=2 * len(dm.train_dataloader()),
+                    num_training_steps=TIMED_EPOCHS * len(dm.train_dataloader()),
                 )
 
             try:
                 # Warm with the SAME epoch count/chunking as the timed fit:
                 # the resident loop's scan length is part of the compiled
                 # program, so a 1-epoch warmup would not warm the cache.
-                Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
+                Trainer(max_epochs=TIMED_EPOCHS, run_dir=tempfile.mkdtemp(), seed=42,
                         log_every_n_steps=10_000, **tkw).fit(fresh_model(), dm)
                 t0 = time.time()
-                Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
+                Trainer(max_epochs=TIMED_EPOCHS, run_dir=tempfile.mkdtemp(), seed=42,
                         log_every_n_steps=10_000, **tkw).fit(fresh_model(), dm)
             except Exception as exc:  # OOM/device fault: record, keep going
                 frontier[name] = {"error": str(exc)[:200], "batch": batch}
@@ -244,7 +248,7 @@ def bench_frontier(args) -> None:
                 out.write_text(json.dumps(payload, indent=2))
                 continue
             elapsed = time.time() - t0
-            n_consumed = 2 * len(dm.X_train)
+            n_consumed = TIMED_EPOCHS * len(dm.X_train)
             sps = n_consumed / elapsed
             frontier[name] = {
                 "time_s_2_epochs": elapsed, "train_samples_per_s_chip": sps,
@@ -294,18 +298,18 @@ def bench_training(args) -> None:
                 config=cfg,
                 variables=init_score_model(jax.random.PRNGKey(0), cfg),
                 scheduler=scheduler,
-                num_training_steps=2 * len(dm.train_dataloader()),
+                num_training_steps=TIMED_EPOCHS * len(dm.train_dataloader()),
             )
 
         Trainer(max_epochs=1, run_dir=tempfile.mkdtemp(), seed=42,
                 log_every_n_steps=10_000).fit(fresh_model(), dm)  # warm cache
         t0 = time.time()
-        Trainer(max_epochs=2, run_dir=tempfile.mkdtemp(), seed=42,
+        Trainer(max_epochs=TIMED_EPOCHS, run_dir=tempfile.mkdtemp(), seed=42,
                 log_every_n_steps=10_000).fit(fresh_model(), dm)
         elapsed = time.time() - t0
         # Derive the consumed-sample count from the datamodule (NumpyLoader
         # is drop_last=False, so one epoch consumes the full train split).
-        n_consumed = 2 * len(dm.X_train)
+        n_consumed = TIMED_EPOCHS * len(dm.X_train)
         sps = n_consumed / elapsed
         payload["results"][name] = {
             "time_s_2_epochs": elapsed, "train_samples_per_s_chip": sps,
