@@ -73,7 +73,12 @@ def main() -> None:
     s_shift = samplers["shifted"].sample(n, args.steps, key=jax.random.PRNGKey(1))
     s_noshift = samplers["noshift"].sample(n, args.steps, key=jax.random.PRNGKey(1))
     s_floor = samplers["shifted"].sample(n, args.steps, key=jax.random.PRNGKey(99))
-    finite = bool(np.isfinite(s_noshift).all())
+    # Both arms must be finite: a NaN in the SHIFTED baseline would otherwise
+    # poison max_abs / sw_pair into NaN (json.dumps then emits invalid strict
+    # JSON) while "finite" still read true (ADVICE r4).
+    finite_noshift = bool(np.isfinite(s_noshift).all())
+    finite_shift = bool(np.isfinite(s_shift).all())
+    finite = finite_noshift and finite_shift
     max_abs = float(np.max(np.abs(s_shift - s_noshift))) if finite else None
     sw = SlicedWasserstein(
         original_samples=s_shift, random_seed=42, num_directions=200
@@ -102,6 +107,8 @@ def main() -> None:
         },
         "numerics": {
             "finite": finite,
+            "finite_shifted": finite_shift,
+            "finite_noshift": finite_noshift,
             "max_abs_final_sample_delta": max_abs,
             "sw_noshift_vs_shifted": sw_pair,
             "sw_noise_floor": sw_floor,
