@@ -95,7 +95,15 @@ class E2CRFConfig:
     # fidelity at matched τ but its curvature term amplifies over long
     # skips, so 1 remains the best skip-rate/quality frontier and default.
     eps_order: int = 1
-    random_probe_ratio: float = 0.0
+    # Fraction of tokens force-refreshed at random on TOPK steps (rides the
+    # same token_budget, so it is free — it only reorders the top-k
+    # priority).  Guard calibration v2 (guard_demo_v2.json) showed
+    # token-level cumulative collapse is structurally invisible without
+    # auditing rows the top-k never selects, so the TOKEN level defaults to
+    # a small probe.  -1.0 = auto: 0.02 at level="token", 0.0 otherwise.
+    # An explicit 0.0 at the token level disables probing and warns at
+    # sampler construction unless guard="off".
+    random_probe_ratio: float = -1.0
     # Ablation switch: weight per-token CRF drift by spectral energy
     # (paper's energy weighting; reference ablation "no_energy_weighting").
     energy_weighting: bool = True
@@ -142,9 +150,10 @@ class E2CRFConfig:
     # REJECTED as detectors: LayerNorm bounds the score net's output so
     # collapse inflates ε̂ only mildly, and weak models legitimately grow
     # 1.6–2.0× — total overlap.  Token-level cumulative collapse is only
-    # observable if the policy AUDITS stale tokens: set
-    # ``random_probe_ratio`` > 0 (free — probes ride the same
-    # token_budget) so TOPK refreshes measure genuinely stale rows.
+    # observable if the policy AUDITS stale tokens: ``random_probe_ratio``
+    # > 0 (free — probes ride the same token_budget) makes TOPK refreshes
+    # measure genuinely stale rows, and therefore DEFAULTS to 0.02 at the
+    # token level (see ``random_probe_ratio`` above).
     guard: str = "warn"  # "warn" | "strict" | "off"
     guard_overrun_tol: float = 5.0
     # 0.0 = auto: 2.5 at score/kv level (weak models run per-span means up
@@ -153,6 +162,12 @@ class E2CRFConfig:
     # collapse reads ≥2.0 — guard_demo_v2.json probed arms).
     guard_abs_tol: float = 0.0
     guard_max_tol: float = 4.0
+
+    @property
+    def resolved_random_probe_ratio(self) -> float:
+        if self.random_probe_ratio >= 0.0:
+            return self.random_probe_ratio
+        return 0.02 if self.level == "token" else 0.0
 
     @property
     def resolved_guard_abs_tol(self) -> float:
@@ -177,7 +192,9 @@ class E2CRFConfig:
             R=jnp.asarray(self.R, jnp.int32),
             tau_0=jnp.asarray(self.tau_0, jnp.float32),
             tau_warn=jnp.asarray(self.tau_warn, jnp.float32),
-            random_probe_ratio=jnp.asarray(self.random_probe_ratio, jnp.float32),
+            random_probe_ratio=jnp.asarray(
+                self.resolved_random_probe_ratio, jnp.float32
+            ),
             guard_abs_tol=jnp.asarray(self.resolved_guard_abs_tol, jnp.float32),
         )
 

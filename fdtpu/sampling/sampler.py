@@ -853,6 +853,28 @@ class DiffusionSampler:
             )
         if (
             self.cache_config is not None
+            and self.cache_config.level == "token"
+            and self.cache_config.random_probe_ratio == 0.0
+            and self.cache_config.guard != "off"
+        ):
+            # Guard calibration v2 (docs/benchmarks/guard_demo_v2.json):
+            # token-level cumulative collapse happens in rows the top-k
+            # never selects, so without random probes the guard's TOPK
+            # audit can only measure rows the policy already chose — the
+            # probe default (0.02) exists to close exactly that hole.
+            import warnings
+
+            warnings.warn(
+                "level='token' with random_probe_ratio=0.0: stale rows the "
+                "top-k never selects go unaudited, so cumulative collapse "
+                "there is invisible to the error-budget guard "
+                "(docs/benchmarks/guard_demo_v2.json). Leave "
+                "random_probe_ratio unset to get the 0.02 default, or set "
+                "guard='off' to silence this warning.",
+                stacklevel=2,
+            )
+        if (
+            self.cache_config is not None
             and self.cache_config.level == "kv"
             and self.cache_config.policy == "event"
             and self.cache_config.tau_0 < 1.0

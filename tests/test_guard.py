@@ -78,6 +78,10 @@ def test_guard_warn_default_emits_warning():
 
 
 def test_guard_token_level_detects_collapse():
+    """No explicit random_probe_ratio: this runs at the token-level DEFAULT
+    (0.02 auto probe), so it also pins that an out-of-the-box token config
+    catches collapse without the caller opting into auditing (VERDICT r4
+    ask #5)."""
     model = make_model()
     with pytest.raises(RuntimeError, match="error-budget guard"):
         _sample(
@@ -87,6 +91,46 @@ def test_guard_token_level_detects_collapse():
                 "guard": "strict",
             },
             steps=120,
+        )
+
+
+def test_token_probe_ratio_auto_default():
+    """random_probe_ratio defaults to -1 = auto: 0.02 at the token level
+    (stale-row auditing, guard_demo_v2.json), 0.0 everywhere else; an
+    explicit value wins at every level."""
+    from fdtpu.cache.e2crf import E2CRFConfig
+
+    tok = E2CRFConfig(level="token", token_budget=4)
+    assert tok.resolved_random_probe_ratio == 0.02
+    assert float(tok.policy_params().random_probe_ratio) == pytest.approx(0.02)
+    assert E2CRFConfig(level="score").resolved_random_probe_ratio == 0.0
+    assert E2CRFConfig(level="kv").resolved_random_probe_ratio == 0.0
+    explicit = E2CRFConfig(level="token", token_budget=4, random_probe_ratio=0.1)
+    assert explicit.resolved_random_probe_ratio == 0.1
+
+
+def test_token_explicit_zero_probe_warns_at_construction():
+    """Explicitly disabling probing at the token level (with the guard on)
+    warns at sampler construction: unprobed rows make cumulative collapse
+    invisible to the TOPK audit."""
+    model = make_model()
+    with pytest.warns(UserWarning, match="unaudited"):
+        DiffusionSampler(
+            model, sample_batch_size=4, use_cache=True,
+            cache_kwargs={
+                "level": "token", "token_budget": 4,
+                "random_probe_ratio": 0.0,
+            },
+        )
+    # guard="off" is the documented opt-out — no warning.
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)
+        DiffusionSampler(
+            model, sample_batch_size=4, use_cache=True,
+            cache_kwargs={
+                "level": "token", "token_budget": 4,
+                "random_probe_ratio": 0.0, "guard": "off",
+            },
         )
 
 
