@@ -121,9 +121,76 @@ def measure(sampler, num_samples, steps, key, min_total_s: float = 20.0,
     return elapsed, out.shape[0] / elapsed
 
 
+def measure_paired(
+    uncached, cached, num_samples, steps, key, legs: int = 3,
+    cached_repeats: int = 3,
+) -> dict:
+    """Load-resistant paired timing (VERDICT r4 ask #2).
+
+    The TPU tunnel is shared: load bursts inflate wall time up to ~2.7×
+    and hit the dispatch-heavy CACHED arm asymmetrically, so timing the
+    two arms in separate windows swung the headline 18.0→14.7 on load
+    alone while every quality field stayed identical (guard_proof.md).
+    Fix: interleave — each LEG times one uncached run and
+    ``cached_repeats`` cached runs back-to-back in the same window, the
+    per-leg speedup is computed within that window, and the headline is
+    the MEDIAN over ``legs`` legs.  A burst that lands inside one leg
+    skews both of that leg's arms together (ratio partially cancels) and
+    the cross-leg median rejects a wholly degraded leg.
+
+    Returns per-leg telemetry so a degraded capture is self-identifying:
+    ``speedup_spread`` = (max−min)/median of the leg speedups; ≳0.25
+    means the tunnel was loaded during the run and the number should be
+    re-captured on an idle tunnel (three idle-tunnel guard-proof runs
+    spread <0.1 in per-leg terms)."""
+    for s in (uncached, cached):  # warmup/compile both arms first
+        s.last_cache_state = None
+        out = s.sample(num_samples, steps, key=key)
+        assert np.isfinite(out).all()
+    leg_speedups, leg_un_t, leg_ca_t = [], [], []
+    for _ in range(legs):
+        t0 = time.time()
+        uncached.sample(num_samples, steps, key=key)
+        t_un = time.time() - t0
+        t_cas = []
+        for _ in range(cached_repeats):
+            cached.last_cache_state = None
+            t0 = time.time()
+            cached.sample(num_samples, steps, key=key)
+            t_cas.append(time.time() - t0)
+        t_ca = float(np.median(t_cas))
+        leg_un_t.append(t_un)
+        leg_ca_t.append(t_ca)
+        leg_speedups.append(t_un / t_ca)
+    t_un = float(np.median(leg_un_t))
+    t_ca = float(np.median(leg_ca_t))
+    speedup = float(np.median(leg_speedups))
+    spread = float(
+        (max(leg_speedups) - min(leg_speedups)) / np.median(leg_speedups)
+    )
+    return {
+        "speedup": speedup,
+        "t_un": t_un,
+        "t_ca": t_ca,
+        "sps_un": num_samples / t_un,
+        "sps_ca": num_samples / t_ca,
+        "leg_speedups": [round(s, 3) for s in leg_speedups],
+        "leg_uncached_s": [round(t, 2) for t in leg_un_t],
+        "leg_cached_s": [round(t, 2) for t in leg_ca_t],
+        "speedup_spread": round(spread, 3),
+        "degraded_suspect": spread > 0.25,
+    }
+
+
+# Populated by build_model(trained=True); consumed by main()'s load sentinel.
+LAST_TRAIN_STATS: dict = {}
+
+
 def build_model(max_len: int, trained: bool, epochs: int, seed: int = 42):
     """Flagship model; ``seed`` controls init + training so independently
     trained replicas (guard calibration across retrains) differ."""
+    global LAST_TRAIN_STATS
+
     from fdtpu.data import SyntheticDatamodule
     from fdtpu.diffusion import VPScheduler
     from fdtpu.models import ScoreModelConfig, init_score_model
@@ -142,6 +209,27 @@ def build_model(max_len: int, trained: bool, epochs: int, seed: int = 42):
     if not trained:
         return model
 
+    # Opt-in trained-weights cache for the auxiliary measurement harnesses
+    # (bench_freqca/bench_noshift/ablation refreshes all need the SAME
+    # trained flagship; retraining it per harness costs ~5 min each on the
+    # tunnel).  Deliberately env-gated and OFF for the headline protocol:
+    # `python bench.py` with no env trains fresh, as the driver measures it.
+    cache_root = os.environ.get("FDTPU_WEIGHTS_CACHE")
+    ckpt_dir = None
+    if cache_root:
+        ckpt_dir = (
+            Path(cache_root) / f"flagship_ml{max_len}_e{epochs}_s{seed}.ckpt"
+        )
+        if (ckpt_dir / "meta.json").exists():
+            from fdtpu.train.checkpoint import load_checkpoint
+
+            print(f"# loaded cached flagship weights: {ckpt_dir}",
+                  file=sys.stderr)
+            LAST_TRAIN_STATS = {
+                "train_time_s": 0.0, "weights_cache": str(ckpt_dir)
+            }
+            return load_checkpoint(ckpt_dir)
+
     dm = SyntheticDatamodule(
         data_dir=tempfile.mkdtemp(), max_len=max_len, num_samples=2000,
         batch_size=64, fourier_transform=True, standardize=True,
@@ -158,12 +246,36 @@ def build_model(max_len: int, trained: bool, epochs: int, seed: int = 42):
     model = trainer.fit(model, dm)
     train_time = time.time() - t0
     seen = epochs * len(dm.X_train)  # samples seen (train split size)
+    # Load sentinel input: training throughput is compute-bound and its
+    # idle-tunnel value is known (~150 samples/s/chip at the flagship
+    # protocol; the documented degraded window ran 4× slower), so a slow
+    # training leg flags the capture (module global, read by main()'s JSON).
+    LAST_TRAIN_STATS = {
+        "train_time_s": round(train_time, 1),
+        "train_samples_per_s": round(seen / train_time, 1),
+        "best_val_loss": float(trainer.best_val_loss),
+    }
     print(
         f"# trained flagship on synthetic-freq data: {epochs} epochs in "
         f"{train_time:.0f}s ({seen / train_time:.0f} training samples/s/chip), "
         f"best val/loss {trainer.best_val_loss:.5f}",
         file=sys.stderr,
     )
+    if ckpt_dir is not None:
+        import shutil
+
+        from fdtpu.train.checkpoint import save_checkpoint
+
+        # save_checkpoint names the dir itself (<run>/checkpoints/epoch=…);
+        # move it to the flat cache-key path build_model looks up.
+        saved = save_checkpoint(
+            ckpt_dir.parent, model, epoch=epochs,
+            val_loss=float(trainer.best_val_loss),
+        )
+        if ckpt_dir.exists():
+            shutil.rmtree(ckpt_dir)
+        saved.rename(ckpt_dir)
+        print(f"# cached flagship weights: {ckpt_dir}", file=sys.stderr)
     return model
 
 
@@ -206,13 +318,16 @@ def main() -> None:
     uncached = DiffusionSampler(
         model, sample_batch_size=batch, batches_per_call=bpc
     )
-    t_un, sps_un = measure(uncached, num_samples, steps, jax.random.PRNGKey(1))
-
     cached = DiffusionSampler(
         model, sample_batch_size=batch, use_cache=True,
         cache_kwargs=CACHE_KWARGS, batches_per_call=bpc,
     )
-    t_ca, sps_ca = measure(cached, num_samples, steps, jax.random.PRNGKey(1))
+    timing = measure_paired(
+        uncached, cached, num_samples, steps, jax.random.PRNGKey(1),
+        legs=2 if args.quick else 3,
+        cached_repeats=2 if args.quick else 3,
+    )
+    sps_un, sps_ca = timing["sps_un"], timing["sps_ca"]
     stats = cached.get_cache_stats()
 
     quality = ""
@@ -276,10 +391,13 @@ def main() -> None:
             "mw_delta_vs_floor": round(float(mw_delta), 4),
         }
 
-    speedup = t_un / t_ca
+    speedup = timing["speedup"]
     print(
         f"# uncached {sps_un:.1f} samples/s/chip | e2crf {sps_ca:.1f} samples/s/chip "
-        f"| skipped {100 * stats['steps_skipped_ratio']:.0f}% of {steps} steps{quality}",
+        f"| skipped {100 * stats['steps_skipped_ratio']:.0f}% of {steps} steps "
+        f"| legs {timing['leg_speedups']} spread {timing['speedup_spread']}"
+        f"{' [DEGRADED TUNNEL SUSPECT]' if timing['degraded_suspect'] else ''}"
+        f"{quality}",
         file=sys.stderr,
     )
     record = {
@@ -288,9 +406,20 @@ def main() -> None:
         "unit": (
             f"x vs uncached compiled sampler (T={steps}, {num_samples} samples "
             f"as {bpc}x batch {batch} per dispatch, 3.2M-param flagship, "
-            f"1 chip; quality within noise floor)"
+            f"1 chip; quality within noise floor; median of "
+            f"{len(timing['leg_speedups'])} interleaved paired legs)"
         ),
         "vs_baseline": round(speedup / REFERENCE_AVG_SPEEDUP, 3),
+        # Load sentinel (VERDICT r4 ask #2): per-leg speedups + spread make
+        # a tunnel-degraded capture self-identifying; the training leg's
+        # throughput is compute-bound with a known idle value (~150
+        # samples/s/chip), so a slow value corroborates.
+        "timing_legs": timing["leg_speedups"],
+        "timing_spread": timing["speedup_spread"],
+        "degraded_suspect": timing["degraded_suspect"],
+        "uncached_samples_per_s": round(sps_un, 2),
+        "cached_samples_per_s": round(sps_ca, 2),
+        **LAST_TRAIN_STATS,
         **quality_record,
     }
     print(json.dumps(record))
