@@ -187,21 +187,30 @@ def test_sample_cli_calibrated_tau(trained_run):
             assert yaml.safe_load(f)["current_step"] == 6
 
 
-def test_validate_real_data_harness(tmp_path):
-    """Table-2 reproduction harness end-to-end on the ECG raw-file fixture
-    (VERDICT round-2 ask #4): prepare → train → sample both arms → metrics
-    → table2_<dataset>.json with reference rows for side-by-side."""
+@pytest.mark.parametrize(
+    "dataset",
+    ["ecg", "nasdaq", "nasa_charge", "nasa_discharge", "droughts", "mimic"],
+)
+def test_validate_real_data_harness(tmp_path, dataset):
+    """Table-2 reproduction harness end-to-end on every dataset's raw-file
+    fixture, through the FULL arm set — baseline + cached in BOTH domains —
+    with the Table-2 JSON schema asserted (VERDICT round-4 ask #7: day-one
+    real-data execution must have zero untested branches; the real runs are
+    the same command without --fixture/--smoke)."""
     import os
     import subprocess
     import sys as _sys
 
-    out_json = tmp_path / "table2_ecg.json"
+    from test_table2_schema import assert_table2_schema
+
+    out_json = tmp_path / f"table2_{dataset}.json"
     env = dict(os.environ)
     env.update({"FDTPU_PLATFORM": "cpu", "PYTHONPATH": str(REPO)})
     result = subprocess.run(
         [
             _sys.executable, str(REPO / "scripts" / "validate_real_data.py"),
-            "ecg", "--fixture", "--smoke", "--domains", "frequency",
+            dataset, "--fixture", "--smoke",
+            "--domains", "frequency", "time",
             "--data-dir", str(tmp_path / "raw"),
             "--run-dir", str(tmp_path / "runs"),
             "--out", str(out_json),
@@ -210,13 +219,12 @@ def test_validate_real_data_harness(tmp_path):
     )
     assert result.returncode == 0, result.stderr[-3000:]
     payload = json.loads(out_json.read_text())
+    assert_table2_schema(payload, dataset, domains=("frequency", "time"))
     arms = payload["domains"]["frequency"]["arms"]
-    assert "time_sliced_wasserstein_mean" in arms["baseline"]
-    assert "time_sliced_wasserstein_std" in arms["baseline"]
     assert arms["cached"]["cache_stats"]["current_step"] == 5
-    assert payload["reference_table2"]["baseline_sw"] == [0.015, 0.0]
-    assert payload["summary"]["fdtpu_cached_sw"][0] is not None
     assert "warning" in payload  # fixture data flagged as meaningless
+    if dataset == "ecg":
+        assert payload["reference_table2"]["baseline_sw"] == [0.015, 0.0]
 
 
 def test_shape_scaling_harness_smoke(tmp_path):

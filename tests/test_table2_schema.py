@@ -27,28 +27,25 @@ ALL_DATASETS = (
 PAPER_DATASETS = ("droughts", "ecg", "nasa_charge", "nasa_discharge", "nasdaq")
 
 
-@pytest.mark.parametrize("dataset", ALL_DATASETS)
-def test_table2_artifact_schema(dataset):
-    path = BENCH_DIR / f"table2_{dataset}.json"
-    assert path.exists(), (
-        f"missing {path.name}: run `python scripts/validate_real_data.py all "
-        "--fixture --smoke --domains frequency`"
-    )
-    payload = json.loads(path.read_text())
+def assert_table2_schema(payload, dataset, domains=("frequency",)):
+    """Full Table-2 JSON schema assertion, shared between the committed-
+    artifact checks here and the live fixture runs in tests/test_cli.py
+    (VERDICT r4 ask #7: every dataset's full arm set schema-asserted)."""
     assert payload["dataset"] == dataset
     proto = payload["protocol"]
     for key in ("epochs", "num_samples", "steps", "seed", "cached_kwargs"):
-        assert key in proto, f"{path.name} protocol missing {key}"
+        assert key in proto, f"table2_{dataset} protocol missing {key}"
     if proto["fixture_data"]:
         assert "warning" in payload  # fixture numbers flagged as meaningless
 
-    arms = payload["domains"]["frequency"]["arms"]
-    for arm in ("baseline", "cached"):
-        row = arms[arm]
-        assert isinstance(row["time_sliced_wasserstein_mean"], float)
-        assert isinstance(row["time_sliced_wasserstein_std"], float)
-        assert row["sample_time_s"] >= 0
-    assert arms["cached"]["cache_stats"]["steps_skipped_ratio"] >= 0
+    for domain in domains:
+        arms = payload["domains"][domain]["arms"]
+        for arm in ("baseline", "cached"):
+            row = arms[arm]
+            assert isinstance(row["time_sliced_wasserstein_mean"], float)
+            assert isinstance(row["time_sliced_wasserstein_std"], float)
+            assert row["sample_time_s"] >= 0
+        assert arms["cached"]["cache_stats"]["steps_skipped_ratio"] >= 0
 
     summary = payload["summary"]
     assert summary["fdtpu_baseline_sw"][0] is not None
@@ -60,3 +57,13 @@ def test_table2_artifact_schema(dataset):
         assert summary["reference"] == ref
     else:
         assert payload["reference_table2"] is None
+
+
+@pytest.mark.parametrize("dataset", ALL_DATASETS)
+def test_table2_artifact_schema(dataset):
+    path = BENCH_DIR / f"table2_{dataset}.json"
+    assert path.exists(), (
+        f"missing {path.name}: run `python scripts/validate_real_data.py all "
+        "--fixture --smoke --domains frequency`"
+    )
+    assert_table2_schema(json.loads(path.read_text()), dataset)
