@@ -153,9 +153,14 @@ def _bd_kernel_batch(q_ref, k_ref, v_ref, o_ref, kbd_ref, vbd_ref, *,
         ) * scale
         s3 = scores.reshape(seq, n_head, t_pad)
         # shift=False drops the per-block max pass (one of the two
-        # remaining VPU passes): exp(s) directly is exact in fp32 while
-        # max|s| stays ≪ 88 — validated against the shifted kernel on the
-        # trained flagship before use (docs/benchmarks/noshift_exp.json).
+        # remaining VPU passes) but is only exact while max|s| ≪ 88 (fp32
+        # exp overflow).  MEASURED AND REJECTED for the sampling chain:
+        # on the trained flagship at the headline protocol (T=1000) the
+        # shift-free chain goes NON-FINITE — some step's logits exceed the
+        # overflow bound — while the shifted chain stays finite
+        # (docs/benchmarks/noshift_exp.json, round 5).  Keep shift=True
+        # (the default) for any full diffusion chain; shift=False remains
+        # only for bounded-logit micro-benchmarks.
         w3 = jnp.exp(s3 - jnp.max(s3, axis=-1, keepdims=True)) if shift else jnp.exp(s3)
         out = _softmax_av(
             w3.reshape(seq, n_head * t_pad), vbd_ref[:],
@@ -179,7 +184,10 @@ def blockdiag_mha(
         shift: subtract the per-block max before exp (standard softmax
             stabilization).  ``False`` drops that VPU pass — only safe
             when the model's attention logits are bounded well below the
-            fp32 exp overflow (~88); see the noshift experiment notes.
+            fp32 exp overflow (~88).  Measured and REJECTED for diffusion
+            sampling chains: the trained flagship's T=1000 chain goes
+            non-finite under ``shift=False``
+            (docs/benchmarks/noshift_exp.json).
 
     Returns:
         ``(B, T, D)`` merged attention output.

@@ -238,7 +238,9 @@ def encoder_layer_apply(
                 n_head, dh
             )[None, :, None, :]
             # "blockdiag_noshift" drops the softmax max-subtraction VPU
-            # pass — forward-only experiment, safe iff logits ≪ 88.
+            # pass — forward-only experiment, safe iff logits ≪ 88;
+            # measured non-finite on full sampling chains and REJECTED
+            # (docs/benchmarks/noshift_exp.json).
             attn_out = blockdiag_mha_trainable(
                 q2, k2, v2, 256, attention_impl != "blockdiag_noshift"
             )
