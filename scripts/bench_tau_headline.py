@@ -110,6 +110,8 @@ def main() -> None:
     print(f"uncached {sps_un:.1f} samples/s, floor {floor:.3f}", file=sys.stderr)
     out_path.write_text(json.dumps(payload, indent=2))
 
+    import warnings
+
     for tau in args.taus:
         name = f"tau{tau:g}"
         kw = dict(base_kwargs, tau_0=tau)
@@ -118,10 +120,19 @@ def main() -> None:
             cache_kwargs=kw, batches_per_call=args.bpc,
         )
         t0 = time.time()
-        t_ca, sps_ca = measure(sampler, n, args.steps, jax.random.PRNGKey(1))
-        stats = sampler.get_cache_stats()
-        sampler.last_cache_state = None
-        s_ca = sampler.sample(n, args.steps, key=jax.random.PRNGKey(1))
+        # Capture guard warnings: an operating point that warns on itself
+        # is not shippable even when its SW sits inside the floor
+        # (round-3 lesson — the tau_0=1.35 arm), so guard silence is a
+        # first-class column of the frontier.
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            t_ca, sps_ca = measure(sampler, n, args.steps, jax.random.PRNGKey(1))
+            stats = sampler.get_cache_stats()
+            sampler.last_cache_state = None
+            s_ca = sampler.sample(n, args.steps, key=jax.random.PRNGKey(1))
+        guard_flagged = any(
+            "error-budget guard" in str(w.message) for w in caught
+        )
         dist = float(sw(s_ca)["sliced_wasserstein_mean"])
         results[name] = {
             "tau_0": tau,
@@ -131,6 +142,7 @@ def main() -> None:
             "steps_skipped_ratio": stats["steps_skipped_ratio"],
             "sw_vs_uncached": dist,
             "within_floor": dist <= floor,
+            "guard_flagged": guard_flagged,
             "guard_overrun_ratio": stats.get("budget_overrun_ratio"),
             "realized_err_mean": stats.get("realized_err_mean"),
             "realized_err_max": stats.get("realized_err_max"),
