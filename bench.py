@@ -295,6 +295,11 @@ def main() -> None:
         help="full-size batches sampled per jitted dispatch (device-resident "
         "scan over trajectories); num_samples = batch * batches_per_call",
     )
+    parser.add_argument(
+        "--tau0", type=float, default=None,
+        help="override CACHE_KWARGS['tau_0'] (frontier/proof runs; the "
+        "shipped default stays the module constant)",
+    )
     args = parser.parse_args()
 
     from fdtpu.metrics import SlicedWasserstein
@@ -318,9 +323,12 @@ def main() -> None:
     uncached = DiffusionSampler(
         model, sample_batch_size=batch, batches_per_call=bpc
     )
+    cache_kwargs = dict(CACHE_KWARGS)
+    if args.tau0 is not None:
+        cache_kwargs["tau_0"] = args.tau0
     cached = DiffusionSampler(
         model, sample_batch_size=batch, use_cache=True,
-        cache_kwargs=CACHE_KWARGS, batches_per_call=bpc,
+        cache_kwargs=cache_kwargs, batches_per_call=bpc,
     )
     timing = measure_paired(
         uncached, cached, num_samples, steps, jax.random.PRNGKey(1),
@@ -419,6 +427,7 @@ def main() -> None:
         "degraded_suspect": timing["degraded_suspect"],
         "uncached_samples_per_s": round(sps_un, 2),
         "cached_samples_per_s": round(sps_ca, 2),
+        "tau_0": cache_kwargs["tau_0"],
         **LAST_TRAIN_STATS,
         **quality_record,
     }

@@ -97,7 +97,7 @@ REFERENCE_TABLE2 = {
 }
 
 # Validated cached operating point (docs/benchmarks/README.md headline arm).
-CACHED_KWARGS = {"level": "score", "R": 100, "tau_0": 1.0, "eps_order": 1}
+CACHED_KWARGS = {"level": "score", "R": 100, "tau_0": 1.2, "eps_order": 1}
 
 
 def _metric_rows(results: dict) -> dict:
@@ -136,6 +136,10 @@ def main() -> None:
     parser.add_argument("--fixture", action="store_true",
                         help="write schema fixtures into --data-dir first "
                              "(plumbing proof; metric numbers meaningless)")
+    parser.add_argument("--override", action="append", default=[],
+                        help="extra hydra-style train overrides (e.g. "
+                        "datamodule.num_samples=4000); recorded in the "
+                        "output protocol block")
     parser.add_argument("--smoke", action="store_true",
                         help="tiny model + 1 epoch + few steps (CI)")
     args = parser.parse_args()
@@ -190,6 +194,7 @@ def run_dataset(args) -> dict:
         "protocol": {
             "epochs": args.epochs, "num_samples": args.num_samples,
             "steps": args.steps, "seed": args.seed,
+            "train_overrides": list(args.override),
             "cached_kwargs": CACHED_KWARGS, "fixture_data": bool(args.fixture),
             "smoke": bool(args.smoke),
         },
@@ -228,6 +233,7 @@ def run_dataset(args) -> dict:
             f"random_seed={args.seed}",
             *extra,
             *smoke_overrides,
+            *args.override,
         ]
         logging.info("[%s/%s] training: %s", args.dataset, domain,
                      " ".join(train_overrides))
