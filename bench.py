@@ -53,19 +53,22 @@ import numpy as np
 
 REFERENCE_AVG_SPEEDUP = 3.2  # paper §4.1: 2.1–4.3× across 5 datasets (CPU)
 
-# Quality-validated cache setting on trained flagship models: ~96% of steps
+# Quality-validated cache setting on trained flagship models: ~97% of steps
 # skipped with the cached samples' SW distance to the uncached run well below
 # the independent-run noise floor AND the error-budget guard silent.  From
 # the headline-protocol τ₀ frontier (docs/benchmarks/tau_headline.json,
-# T=1000): τ₀=1.2 stays inside the floor with margin; τ₀=1.5 crosses it.
-# Guard robustness: this exact arm was calibrated across three
-# independently trained flagships × T ∈ {500, 1000}
-# (docs/benchmarks/guard_demo_v2.json headline_tau1.2_R100: worst-span
-# ≤2.3, mean ≤1.7 against tolerances 4.0 / 2.5) with the
-# refresh-phase-invariant statistic — the round-3 guard firing was an
-# end-of-trajectory denominator artifact, mechanism in
+# T=1000): τ₀=1.35 stays inside the floor (SW 0.290 vs 0.548 @n=2048);
+# τ₀=1.5 crosses it.  The round-3 reason not to ship 1.35 (it tripped its
+# own guard, err_max 4.21 > 4.0) was the unfloored end-of-trajectory
+# denominator artifact; with the refresh-phase-invariant floored statistic
+# it is guard-silent across three fresh-compile-cache full runs with
+# quality fields identical to 4 decimals
+# (docs/benchmarks/tau135_proof.md: 18.79x / 18.63x / 15.78x, the last
+# self-flagged degraded_suspect under deliberate host load).  Guard
+# tolerance calibration: guard_demo_v2.json across three independently
+# trained flagships × T ∈ {500, 1000}; firing mechanism in
 # scripts/diagnose_guard.py.
-CACHE_KWARGS = {"level": "score", "R": 100, "tau_0": 1.2, "eps_order": 1}
+CACHE_KWARGS = {"level": "score", "R": 100, "tau_0": 1.35, "eps_order": 1}
 
 
 def sliced_w2(a: np.ndarray, b: np.ndarray, directions: np.ndarray) -> float:

@@ -97,7 +97,10 @@ REFERENCE_TABLE2 = {
 }
 
 # Validated cached operating point (docs/benchmarks/README.md headline arm).
-CACHED_KWARGS = {"level": "score", "R": 100, "tau_0": 1.2, "eps_order": 1}
+# (the committed table2_synthetic_full.json was captured at the previous
+# shipped point tau_0=1.2; both 1.2 and 1.35 are within-floor validated —
+# docs/benchmarks/tau_headline.json + tau135_proof.md)
+CACHED_KWARGS = {"level": "score", "R": 100, "tau_0": 1.35, "eps_order": 1}
 
 
 def _metric_rows(results: dict) -> dict:
